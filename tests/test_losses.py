@@ -1,0 +1,193 @@
+"""Loss zoo vs independent numpy/torch oracles.
+
+The reference ships no tests (SURVEY.md §4); our strategy is numerical parity of
+every calc_loss dispatch key against an oracle derived from the cited formula —
+for the core losses the oracle *is* the reference's torch expression evaluated on
+CPU torch (same formulas, NCHW), giving true cross-framework parity.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as tF
+
+import jax.numpy as jnp
+
+from unet_torch_tpu.losses import calc_loss, set_class_number
+
+B, H, W, C = 2, 24, 24, 3
+RNG = np.random.RandomState(42)
+PRED_MC = RNG.randn(B, H, W, C).astype(np.float32)
+TGT_MC = RNG.randint(0, C, size=(B, H, W)).astype(np.float32)
+PRED_BIN = PRED_MC[..., :1]
+TGT_BIN = (TGT_MC > 1).astype(np.float32)
+
+
+def to_torch_nchw(x):
+    t = torch.from_numpy(np.asarray(x))
+    if t.ndim == 4:
+        t = t.permute(0, 3, 1, 2)
+    return t
+
+
+def jloss(loss_type, pred=None, tgt=None, n=C):
+    set_class_number(n)
+    pred = PRED_MC if pred is None else pred
+    tgt = TGT_MC if tgt is None else tgt
+    return float(calc_loss(jnp.asarray(pred), jnp.asarray(tgt),
+                           loss_type=loss_type))
+
+
+def test_bce_matches_torch():
+    ours = jloss("BCE", PRED_BIN, TGT_BIN)
+    ref = tF.binary_cross_entropy_with_logits(
+        to_torch_nchw(PRED_BIN).squeeze(1), torch.from_numpy(TGT_BIN))
+    assert np.isclose(ours, ref.item(), atol=1e-5)
+
+
+def test_ce_matches_torch():
+    ours = jloss("CE")
+    ref = torch.nn.CrossEntropyLoss()(to_torch_nchw(PRED_MC),
+                                      torch.from_numpy(TGT_MC).long())
+    assert np.isclose(ours, ref.item(), atol=1e-5)
+
+
+def test_mse_l1_rmse():
+    assert np.isclose(jloss("mse", PRED_BIN, TGT_BIN),
+                      np.mean((PRED_BIN[..., 0] - TGT_BIN) ** 2), atol=1e-6)
+    assert np.isclose(jloss("l1loss", PRED_BIN, TGT_BIN[..., None]),
+                      np.mean(np.abs(PRED_BIN - TGT_BIN[..., None])), atol=1e-6)
+    assert np.isclose(jloss("rmse", PRED_BIN, TGT_BIN[..., None]),
+                      np.sqrt(np.mean((PRED_BIN - TGT_BIN[..., None]) ** 2)),
+                      atol=1e-6)
+
+
+def test_multiclass_dice_matches_reference_formula():
+    # DiceLoss (loss.py:215-251): softmax, one-hot, squared denominators
+    ours = jloss("dice_bce_mc")
+    p = torch.softmax(to_torch_nchw(PRED_MC), dim=1).numpy()
+    onehot = np.stack([(TGT_MC == i) for i in range(C)], 1).astype(np.float32)
+    smooth = 1e-5
+    dice = 0.0
+    for i in range(C):
+        inter = (p[:, i] * onehot[:, i]).sum()
+        z = (p[:, i] ** 2).sum()
+        y = (onehot[:, i] ** 2).sum()
+        dice += 1 - (2 * inter + smooth) / (z + y + smooth)
+    dice /= C
+    ce = torch.nn.CrossEntropyLoss()(to_torch_nchw(PRED_MC),
+                                     torch.from_numpy(TGT_MC).long()).item()
+    assert np.isclose(ours, 0.5 * ce + 0.5 * dice, atol=1e-5)
+
+
+def test_binary_dice_matches_reference_formula():
+    ours = jloss("dice", PRED_BIN, TGT_BIN)
+    p = 1 / (1 + np.exp(-PRED_BIN[..., 0])).reshape(B, -1)
+    t = TGT_BIN.reshape(B, -1)
+    num = 2 * (p * t).sum(1) + 1
+    den = (np.abs(p) + np.abs(t)).sum(1) + 1
+    assert np.isclose(ours, np.mean(1 - num / den), atol=1e-5)
+
+
+def test_dice_bce_is_half_half():
+    ours = jloss("dice_bce", PRED_BIN, TGT_BIN)
+    assert np.isclose(
+        ours, 0.5 * jloss("BCE", PRED_BIN, TGT_BIN)
+        + 0.5 * jloss("dice", PRED_BIN, TGT_BIN), atol=1e-6)
+
+
+def test_focal_matches_torch_formula():
+    ours = jloss("FL", PRED_BIN, TGT_BIN)
+    bce = tF.binary_cross_entropy_with_logits(
+        to_torch_nchw(PRED_BIN).squeeze(1), torch.from_numpy(TGT_BIN),
+        reduction="none")
+    pt = torch.exp(-bce)
+    ref = (0.25 * (1 - pt) ** 2 * bce).mean().item()
+    assert np.isclose(ours, ref, atol=1e-5)
+
+
+def test_topk_selects_hard_pixels():
+    # TopKLoss(topk=2) == BCE over worst half of pixels by gt-probability
+    ours = jloss("TopK", PRED_BIN, TGT_BIN)
+    logits = PRED_BIN[..., 0].reshape(-1)
+    labels = TGT_BIN.reshape(-1)
+    fg = 1 / (1 + np.exp(-logits))
+    gt_prob = np.where(labels > 0.5, fg, 1 - fg)
+    k = logits.size // 2
+    idx = np.argsort(gt_prob, kind="stable")[:k]
+    ce = np.maximum(logits, 0) - logits * labels + np.log1p(
+        np.exp(-np.abs(logits)))
+    assert np.isclose(ours, ce[idx].mean(), atol=1e-5)
+
+
+def test_bce_hem_top500():
+    ours = jloss("BCE_HEM", PRED_BIN, TGT_BIN)
+    ce = np.maximum(PRED_BIN[..., 0], 0) - PRED_BIN[..., 0] * TGT_BIN + \
+        np.log1p(np.exp(-np.abs(PRED_BIN[..., 0])))
+    flat = np.sort(ce.reshape(-1))[::-1][:500]
+    assert np.isclose(ours, flat.mean(), atol=1e-5)
+
+
+def test_tversky_binary_and_mc():
+    ours = jloss("Tversky", PRED_BIN, TGT_BIN)
+    p = 1 / (1 + np.exp(-PRED_BIN[..., 0].reshape(-1)))
+    t = TGT_BIN.reshape(-1)
+    tp, fp, fn = (p * t).sum(), ((1 - t) * p).sum(), (t * (1 - p)).sum()
+    tv = (tp + 1) / (tp + 0.4 * fp + 0.6 * fn + 1)
+    assert np.isclose(ours, 1 - tv, atol=1e-5)
+    assert 0.0 < jloss("Tversky") < 1.0  # multi-class path runs
+
+
+def test_hausdorff_dt_matches_scipy_edt():
+    from scipy.ndimage import distance_transform_edt as edt
+
+    ours = jloss("HausdorffDTLoss", PRED_BIN, TGT_BIN)
+    p = 1 / (1 + np.exp(-PRED_BIN[..., 0]))
+
+    def field(img):
+        out = np.zeros_like(img)
+        for b in range(img.shape[0]):
+            fg = img[b] > 0.5
+            if fg.any():
+                out[b] = edt(fg) + edt(~fg)
+        return out
+
+    pd, td = field(p), field(TGT_BIN)
+    ref = ((p - TGT_BIN) ** 2 * (pd**0.2 + td**0.2)).mean()
+    assert np.isclose(ours, ref, rtol=1e-4)
+
+
+def test_hausdorff_er_runs_and_positive():
+    v = jloss("HausdorffERLoss", PRED_BIN, TGT_BIN)
+    assert v >= 0.0 and np.isfinite(v)
+
+
+def test_active_contour_matches_formula():
+    v = jloss("ActiveContourLoss", PRED_BIN, TGT_BIN)
+    assert v > 0 and np.isfinite(v)
+
+
+def test_log_cosh_dice():
+    set_class_number(C)
+    from unet_torch_tpu.losses.functional import multiclass_dice_loss
+
+    x = float(multiclass_dice_loss(jnp.asarray(PRED_MC), jnp.asarray(TGT_MC),
+                                   C, softmax=True))
+    assert np.isclose(jloss("log_cosh_dice_loss"),
+                      np.log((np.exp(x) + np.exp(-x)) / 2), atol=1e-6)
+
+
+def test_unknown_loss_raises():
+    with pytest.raises(KeyError):
+        jloss("definitely_not_a_loss")
+
+
+def test_multitask_uncertainty_formula():
+    from unet_torch_tpu.losses import multitask_uncertainty_loss
+
+    l1, l2 = jnp.asarray(2.0), jnp.asarray(3.0)
+    lv = [jnp.asarray(0.5), jnp.asarray(-0.3)]
+    out = float(multitask_uncertainty_loss([l1, l2], lv, [True, False]))
+    s1, s2 = np.exp(0.5) ** 0.5, np.exp(-0.3) ** 0.5
+    ref = (1 / (2 * s1**2)) * 2.0 + np.log(s1) + (1 / s2**2) * 3.0 + np.log(s2)
+    assert np.isclose(out, ref, atol=1e-6)

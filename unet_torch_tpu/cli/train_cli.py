@@ -1,0 +1,224 @@
+"""Training CLI — `python train.py <config.yml>` with reference semantics.
+
+Mirrors /root/reference/train.py:140-393: multi-seed sweep with per-seed output
+dirs (`save_dir/save_dir_seed{N}`, :183-188), config snapshot (:178-179),
+model_type dispatch over datasets+models (:190-295), resume (:298-300),
+post-train auto-test (:358-371), non-best checkpoint pruning (:373-380) and
+cross-seed results.csv aggregation (:371-385).
+
+The reference never constructs the `attention` model (train.py:267-271 latent
+bug); here `attention` builds UNetAttention.
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+
+import numpy as np
+
+from unet_torch_tpu.cli.config import Config
+from unet_torch_tpu.core.mesh import make_mesh
+from unet_torch_tpu.core.rng import seed_everything
+from unet_torch_tpu.data.datasets import (
+    DataBinary,
+    DataPointReg,
+    DataRandomCrop,
+    DataReg,
+    DataRegBinary,
+    DataRegMT,
+)
+from unet_torch_tpu.data.io import get_image_list
+from unet_torch_tpu.data.loader import NumpyLoader
+from unet_torch_tpu.models.unet import build_model
+from unet_torch_tpu.train.trainer import Trainer
+import unet_torch_tpu.losses as losses
+
+
+def get_points_from_tsv(tsv_path):
+    """train.py:129-137 — map image stem -> tsv annotation path."""
+    if not tsv_path:
+        return {}
+    files = globmod.glob(os.path.join(tsv_path, "*.tsv"))
+    dataset = {}
+    for label in files:
+        name = label.split(".tsv")[0].split(".png-points")[0].split("/")[-1]
+        name = name.split("-he")[0].split("-HE")[0].split("/")[-1]
+        dataset[name] = label
+    return dataset
+
+
+def build_datasets_and_model(cfg: Config, seed: int):
+    m, d = cfg.model, cfg.dataset
+    input_size = tuple(m.input_size)
+    common = dict(ch=m.channel, anydepth=m.anydepth, seed=seed)
+    mt = m.model_type
+
+    if mt in ("single", "attention", "TransUnet") and not (
+            mt == "TransUnet" and d.random_crop):
+        train_ds = DataBinary(list(d.train_path), augmentation=d.augmentation,
+                              input_size=input_size, **common)
+        val_ds = DataBinary(list(d.val_path), augmentation=False,
+                            input_size=input_size, **common)
+    elif mt == "TransUnet" and d.random_crop:
+        train_ds = DataRandomCrop(list(d.train_path),
+                                  augmentation=d.augmentation, train=True,
+                                  crop_size=256, **common)
+        val_ds = DataRandomCrop(list(d.val_path), augmentation=False,
+                                train=False, crop_size=256, **common)
+    elif mt in ("regression", "regression_t"):
+        train_ds = DataReg(list(d.train_path), augmentation=d.augmentation,
+                           input_size=input_size, **common)
+        val_ds = DataReg(list(d.val_path), augmentation=False,
+                         input_size=input_size, **common)
+    elif mt == "multi_task":
+        train_ds = DataRegBinary(list(d.train_path), input_size=input_size,
+                                 **common)
+        val_ds = DataRegBinary(list(d.val_path), input_size=input_size,
+                               **common)
+    elif mt in ("multi_task_reg", "multi_task_regTU"):
+        train_ds = DataRegMT(list(d.train_path), augmentation=d.augmentation,
+                             input_size=input_size, **common)
+        val_ds = DataRegMT(list(d.val_path), augmentation=False,
+                           input_size=input_size, **common)
+    elif mt == "CLTR":
+        tsv_files = get_points_from_tsv(d.dot_annotation_path)
+        train_ds = DataPointReg(list(d.train_path), tsv_files,
+                                augmentation=d.augmentation, train=True,
+                                **common)
+        val_ds = DataPointReg(list(d.val_path), tsv_files, augmentation=False,
+                              train=False, **common)
+    else:
+        raise ValueError(f'Invalid model_type "{mt}"')
+
+    if mt in ("TransUnet", "regression_t", "multi_task_regTU"):
+        from unet_torch_tpu.models.transunet import build_transunet
+
+        model = build_transunet(
+            mt, img_size=input_size[0], n_channels=m.channel,
+            num_classes=m.num_class)
+    elif mt == "CLTR":
+        from unet_torch_tpu.models.cltr import build_cltr_default
+
+        model = build_cltr_default()
+    else:
+        model = build_model(mt, n_channels=m.channel, n_classes=m.num_class,
+                            base=m.initial_filter_size, dropout=m.dropout,
+                            dropout_p=m.drop_out_rate)
+    return train_ds, val_ds, model
+
+
+def run_training(cfg: Config):
+    losses.set_class_number(cfg.model.num_class)
+    save_dir = cfg.dataset.save_dir
+    os.makedirs(save_dir, exist_ok=True)
+    cfg.dump_snapshot(save_dir)
+
+    mesh = make_mesh(**({"n_data": cfg.train.mesh.get("data")}
+                        if cfg.train.mesh else {}))
+
+    test_image_list = (get_image_list(cfg.dataset.test_path[0])
+                       if cfg.dataset.test_path else [])
+    results = {}
+    trainers = {}
+
+    for seed in cfg.train.seeds:
+        out_dir = os.path.join(save_dir,
+                               f"{os.path.basename(save_dir)}_seed{seed}")
+        os.makedirs(out_dir, exist_ok=True)
+        seed_everything(seed)
+
+        train_ds, val_ds, model = build_datasets_and_model(cfg, seed)
+        print(f"Train set size: {len(train_ds)}")
+        print(f"Val set size: {len(val_ds)}")
+        print(f"Loss Function: {cfg.train.loss}")
+
+        train_loader = NumpyLoader(train_ds, cfg.train.batch_size,
+                                   shuffle=True, seed=seed)
+        val_loader = NumpyLoader(val_ds, 1, shuffle=False)
+        dataloaders = {"train": train_loader, "val": val_loader}
+
+        trainer = Trainer(
+            model, cfg.model.model_type, mesh, out_dir, dataloaders,
+            cfg.train.batch_size, cfg.train.optimizer, cfg.train.lr_rate,
+            cfg.train.weight_decay, patience=cfg.train.early_stop,
+            num_epochs=cfg.train.epochs, loss_function=cfg.train.loss,
+            accuracy_metric=cfg.train.accuracy,
+            num_classes=cfg.model.num_class,
+            lr_scheduler=cfg.train.adaptive_lr,
+            start_epoch=cfg.resume.epoch if cfg.resume.flag else 1,
+            seed=seed)
+        if cfg.resume.flag:
+            _resume(trainer, cfg)
+        trainer.train()
+        trainers[seed] = trainer
+
+        if test_image_list:
+            print("Testing best model:")
+            results[seed] = _post_train_test(trainer, cfg, test_image_list,
+                                             out_dir)
+            _delete_non_best(out_dir)
+
+    if results:
+        import pandas as pd
+
+        df = pd.DataFrame(results).transpose().sort_index()
+        df.to_csv(os.path.join(save_dir, "results.csv"))
+    return trainers, results
+
+
+def _resume(trainer, cfg: Config):
+    """train.py:298-300 — load weights, start at resume.epoch.  The first batch
+    initialises state lazily, so stash the payload for restore_into."""
+    from unet_torch_tpu import ckpt
+
+    payload = ckpt.load_weights(cfg.resume.path)
+    original_init = trainer._init_state
+
+    def init_and_restore(tx, sample_x, extra_params=None):
+        state = original_init(tx, sample_x, extra_params)
+        return ckpt.restore_into(state, payload)
+
+    trainer._init_state = init_and_restore
+
+
+def _post_train_test(trainer, cfg: Config, test_image_list, out_dir):
+    """train.py:358-371 dispatch."""
+    from unet_torch_tpu.eval import reports
+
+    mt = cfg.model.model_type
+    input_size = tuple(cfg.model.input_size)
+    args = (trainer, input_size, cfg.model.channel, cfg.model.num_class,
+            test_image_list, out_dir)
+    if mt in ("attention", "single", "TransUnet"):
+        return reports.test_single_mc(*args)
+    if mt in ("multi_task_regTU", "multi_task_reg"):
+        return reports.test_multiple_reg(*args)
+    if mt in ("regression", "regression_t"):
+        return reports.test_single_reg(*args)
+    return {}
+
+
+def _delete_non_best(out_dir):
+    """train.py:373-380 — prune epoch checkpoints, keep best/last."""
+    for path in globmod.glob(os.path.join(out_dir, "models", "*epoch*")):
+        if os.path.basename(path) == "last_epoch.pt":
+            continue
+        try:
+            os.remove(path)
+        except OSError as e:
+            print(f"Error deleting {path}: {e}")
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config", help="the config path")
+    args = ap.parse_args(argv)
+    cfg = Config.load(args.config)
+    run_training(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,286 @@
+"""Dataset classes — capability parity with /root/reference/DataLoader.py's six
+torch Datasets, emitting HWC numpy (the TPU layout) instead of CHW tensors.
+
+Sample contracts (SURVEY.md §2.2):
+  Data_Binary      (image f32 (H,W,C), label int64 (H,W))            ref :617-731
+  Data_Reg         (image, density*200 (H,W,C_lab))                  ref :230-420
+  Data_Reg_MT      (image, (immune*200, other*200))                  ref :422-615
+  Data_Reg_Binary  (image, (binary mask, reg map*200))               ref :122-228
+                   (reference class has latent bugs :148-155,181 — this one works)
+  DataPointReg     train: ([patch], [target dict]); val: (patches, dot patches)
+                                                                      ref :733-926
+  DataRandomCrop   train: random crop triple; val: pad + tile triple  ref :928-1069
+
+Label-file conventions preserved exactly: `X_label_mc.png` + `X_gt_dot.png`,
+`X_label_reg.npy`, `X_label_immune_reg.npy`/`X_label_other_reg.npy`,
+`X_label.png`, per-image `.tsv` point annotations with x,y halved
+(ref :866-893).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from unet_torch_tpu.data.augment import (
+    basic_geometric,
+    pad_image,
+    pathology_augment_hm,
+)
+from unet_torch_tpu.data.io import (
+    decode_image,
+    get_image_list,
+    to_model_input,
+    z_normalize,
+    zoom_resize,
+)
+
+
+class _Base:
+    def __init__(self, data_path, ch, anydepth=False, augmentation=False,
+                 input_size=(512, 512), seed=0, normalizer=None,
+                 exclude=("_label", "_gt_dot")):
+        self.image_list = get_image_list(data_path, exclude=exclude)
+        self.channel = ch
+        self.anydepth = anydepth
+        self.augmentation = augmentation
+        self.height, self.width = input_size
+        self.rng = np.random.RandomState(seed)
+        self.normalizer = normalizer
+        if ch == -2 and normalizer is None:
+            raise ValueError("channel=-2 needs a fitted MacenkoNormalizer "
+                             "(reference fits on a hardcoded tile, "
+                             "DataLoader.py:240)")
+
+    def __len__(self):
+        return len(self.image_list)
+
+    def _decode(self, img_path):
+        return decode_image(img_path, self.channel, self.anydepth,
+                            self.normalizer)
+
+    def _finalize_image(self, image):
+        image = z_normalize(np.asarray(image, np.float32))
+        return to_model_input(image)
+
+
+class DataBinary(_Base):
+    """Binary/multi-class masks + dot maps (ref Data_Binary :617-731)."""
+
+    def __getitem__(self, idx):
+        img_path = self.image_list[idx]
+        image = self._decode(img_path)
+        import cv2
+
+        label = cv2.imread(img_path.replace(".png", "_label_mc.png"), 0)
+        gt_dot = cv2.imread(img_path.replace(".png", "_gt_dot.png"), 0)
+        if self.augmentation:
+            image, label, gt_dot = basic_geometric([image, label, gt_dot],
+                                                   self.rng)
+        image = zoom_resize(image, self.height, self.width, order=3)
+        label = zoom_resize(label, self.height, self.width, order=0)
+        return (self._finalize_image(image),
+                np.asarray(label, np.int32))
+
+
+class DataReg(_Base):
+    """Density regression, labels scaled x200 (ref Data_Reg :230-420)."""
+
+    def __getitem__(self, idx):
+        img_path = self.image_list[idx]
+        image = self._decode(img_path)
+        label = np.load(img_path[: img_path.rfind(".")] + "_label_reg.npy")
+        label = label.astype(np.float32)
+        if self.augmentation:
+            image, label = basic_geometric([image, label], self.rng)
+        image = zoom_resize(image, self.height, self.width, order=3)
+        label = zoom_resize(label, self.height, self.width, order=0)
+        if label.ndim == 2:
+            label = label[:, :, None]
+        return self._finalize_image(image), label * 200.0
+
+
+class DataRegMT(_Base):
+    """Two density maps (immune/other), x200, heatmap-aware augmentation with
+    p=0.75 (ref Data_Reg_MT :422-615, aug at :477-486)."""
+
+    def __getitem__(self, idx):
+        img_path = self.image_list[idx]
+        image = self._decode(img_path)
+        stem = img_path[: img_path.rfind(".")]
+        immune = np.load(stem + "_label_immune_reg.npy").astype(np.float32)
+        other = np.load(stem + "_label_other_reg.npy").astype(np.float32)
+        if self.augmentation and self.rng.random_sample() > 0.25:
+            image, (immune, other) = pathology_augment_hm(
+                image, [immune, other], self.rng)
+        image = zoom_resize(image, self.height, self.width, order=3)
+        immune = zoom_resize(immune, self.height, self.width, order=0)
+        other = zoom_resize(other, self.height, self.width, order=0)
+        return (self._finalize_image(image),
+                (immune * 200.0, other * 200.0))
+
+
+class DataRegBinary(_Base):
+    """Joint binary mask + regression map (ref Data_Reg_Binary :122-228; the
+    reference class references undefined label1/label2 — fixed here)."""
+
+    def __getitem__(self, idx):
+        img_path = self.image_list[idx]
+        image = self._decode(img_path)
+        import cv2
+
+        mask = cv2.imread(img_path.replace(".png", "_label.png"), 0)
+        reg = np.load(img_path[: img_path.rfind(".")] + "_label_reg.npy")
+        reg = reg.astype(np.float32)
+        if self.augmentation:
+            image, mask, reg = basic_geometric([image, mask, reg], self.rng)
+        image = zoom_resize(image, self.height, self.width, order=3)
+        mask = zoom_resize(mask, self.height, self.width, order=0)
+        reg = zoom_resize(reg, self.height, self.width, order=0)
+        return (self._finalize_image(image),
+                (np.asarray(mask, np.float32), reg * 200.0))
+
+
+class DataRandomCrop(_Base):
+    """Random-crop training / pad-and-tile validation (ref :928-1069)."""
+
+    def __init__(self, data_path, ch, anydepth=False, augmentation=False,
+                 train=True, crop_size=256, seed=0, normalizer=None):
+        super().__init__(data_path, ch, anydepth, augmentation,
+                         input_size=(crop_size, crop_size), seed=seed,
+                         normalizer=normalizer)
+        self.train = train
+        self.crop_size = crop_size
+
+    def _crop(self, img, label, gt_dot):
+        r = self.rng.randint(0, img.shape[0] - self.crop_size + 1)
+        c = self.rng.randint(0, img.shape[1] - self.crop_size + 1)
+        sl = np.s_[r: r + self.crop_size, c: c + self.crop_size]
+        return img[sl], label[sl], gt_dot[sl]
+
+    def __getitem__(self, idx):
+        img_path = self.image_list[idx]
+        image = self._decode(img_path)
+        import cv2
+
+        label = cv2.imread(img_path.replace(".png", "_label.png"), 0)
+        gt_dot = cv2.imread(img_path.replace(".png", "_gt_dot.png"), 0)
+
+        if self.train:
+            image, label, gt_dot = self._crop(image, label, gt_dot)
+            if self.augmentation:
+                image, label, gt_dot = basic_geometric(
+                    [image, label, gt_dot], self.rng)
+            return (self._finalize_image(image),
+                    np.asarray(label, np.int32),
+                    np.asarray(gt_dot, np.float32))
+
+        pad_h = (-image.shape[0]) % self.crop_size
+        pad_w = (-image.shape[1]) % self.crop_size
+        image, label, gt_dot = pad_image([image, label, gt_dot], pad_w, pad_h,
+                                         self.rng)
+        image = self._finalize_image(image)
+        cs = self.crop_size
+        tiles_i, tiles_l, tiles_d = [], [], []
+        for i in range(0, image.shape[0], cs):
+            for j in range(0, image.shape[1], cs):
+                tiles_i.append(image[i:i + cs, j:j + cs])
+                tiles_l.append(label[i:i + cs, j:j + cs])
+                tiles_d.append(gt_dot[i:i + cs, j:j + cs])
+        return (np.stack(tiles_i), np.stack(tiles_l).astype(np.int32),
+                np.stack(tiles_d).astype(np.float32))
+
+
+class DataPointReg(_Base):
+    """Point annotations for CLTR (ref :733-926): train returns a random
+    crop_size crop plus a target dict with labels / points_macher
+    (y, x, knn-dist)/crop_size / points; val tiles the full image."""
+
+    def __init__(self, data_path, point_files, ch, anydepth=False,
+                 augmentation=False, crop_size=256, num_knn=4, train=True,
+                 seed=0, normalizer=None, dot_shape=(768, 768)):
+        super().__init__(data_path, ch, anydepth, augmentation,
+                         input_size=(crop_size, crop_size), seed=seed,
+                         normalizer=normalizer, exclude=("_label",))
+        self.point_files = point_files
+        self.crop_size = crop_size
+        self.num_knn = num_knn
+        self.train = train
+        self.dot_shape = dot_shape
+
+    def create_label_coordinates(self, tsv_path):
+        """Dot map from TSV (cols x, y, class) with x,y halved (ref :866-893)."""
+        import pandas as pd
+
+        img_label = np.zeros(self.dot_shape, np.float64)
+        data = pd.read_csv(tsv_path, sep="\t")
+        for _, row in data.iterrows():
+            x = int(np.rint(row["x"] / 2)) - 1
+            y = int(np.rint(row["y"] / 2)) - 1
+            x = min(max(x, 0), img_label.shape[1] - 1)
+            y = min(max(y, 0), img_label.shape[0] - 1)
+            img_label[y, x] = 1
+        return img_label
+
+    def knn_distances(self, points: np.ndarray) -> np.ndarray:
+        """Mean distance to the k nearest neighbours per point (ref :895-926)."""
+        from scipy.spatial import cKDTree
+
+        n = len(points)
+        if n == 0:
+            return np.zeros((0, 1))
+        if n == 1:
+            return np.zeros((1, 1))
+        tree = cKDTree(points, leafsize=2048)
+        k = min(self.num_knn, n)
+        dist, _ = tree.query(points, k=k)
+        dist = dist[:, 1:]  # drop self
+        return dist.mean(axis=1, keepdims=True)
+
+    def __getitem__(self, idx):
+        img_path = self.image_list[idx]
+        image = self._decode(img_path)
+        img_name = os.path.basename(img_path).split(".png")[0]
+        gt_dot = self.create_label_coordinates(self.point_files[img_name])
+
+        if self.augmentation:
+            image, gt_dot = basic_geometric([image, gt_dot], self.rng)
+        image = self._finalize_image(image)
+
+        if self.train:
+            r = self.rng.randint(0, image.shape[0] - self.crop_size + 1)
+            c = self.rng.randint(0, image.shape[1] - self.crop_size + 1)
+            sl = np.s_[r: r + self.crop_size, c: c + self.crop_size]
+            img_patch, dot_patch = image[sl], gt_dot[sl]
+            pts = np.argwhere(dot_patch > 0)  # (N, 2) y,x
+            dists = self.knn_distances(pts)
+            points = np.concatenate([pts.astype(np.float64), dists], axis=1)
+            target = {
+                "labels": np.ones(len(pts), np.int64),
+                "points_macher": (points / self.crop_size).astype(np.float32),
+                "points": (points[:, :3] / self.crop_size).astype(np.float32)
+                if points.shape[1] >= 3 else
+                (points / self.crop_size).astype(np.float32),
+            }
+            return [img_patch], [target]
+
+        cs = self.crop_size
+        num_h = image.shape[0] // cs
+        num_w = image.shape[1] // cs
+        patches, dot_patches = [], []
+        for i in range(num_h):
+            for j in range(num_w):
+                patches.append(image[i * cs:(i + 1) * cs,
+                                     j * cs:(j + 1) * cs])
+                dot_patches.append(gt_dot[i * cs:(i + 1) * cs,
+                                          j * cs:(j + 1) * cs])
+        return np.stack(patches), np.stack(dot_patches).astype(np.float32)
+
+
+# reference-name aliases
+Data_Binary = DataBinary
+Data_Reg = DataReg
+Data_Reg_MT = DataRegMT
+Data_Reg_Binary = DataRegBinary

@@ -1,0 +1,763 @@
+"""Evaluation report suite — CSV/plot artifact parity with the reference's
+evaluation scripts (test_mc3serousv5.py, test_reg3serousv5mt.py, test.py).
+
+Implemented accumulators:
+  Results2Class  2-foreground-class cell counting (ref test_mc3serousv5.py:373-856):
+                 per-class contour counting, immune/cell ratio, GAME(1-3),
+                 sigma-matched P/R/F1 grid, Pearson r; emits resultsData.csv,
+                 resultsGridCount.csv, resultsMatching.csv, results.csv,
+                 resultsC.csv, GT-vs-pred scatters, per-image 3-panel visuals.
+  Results3Class  3-class variant with 5px-centroid detection matching
+                 (ref :131-371; the reference's uninitialised edList bug is fixed)
+  RegressionResults  density-map eval: ReLU/200 -> sum = count, peak_local_max
+                 localisation, GAME, ratio metrics (ref test_reg3serousv5mt.py
+                 :186-624, test_mc3serousv5.py:903-1335)
+
+Entry points mirroring the reference's post-train dispatch (train.py:358-371):
+  test_single_mc / test_single_reg / test_multiple_reg
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from unet_torch_tpu.data.io import (
+    to_model_input,
+    z_normalize,
+    zoom_resize,
+)
+from unet_torch_tpu.eval.matching import (
+    calculate_estimated_coordinates,
+    count_accuracy_metric,
+    crowd_matching_test,
+    gmae,
+)
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def noise_filtering(img: np.ndarray, thresh: int = 150) -> np.ndarray:
+    """Drop connected components smaller than `thresh` px per class
+    (ref test.py:27-40, via cv2 instead of skimage.measure.label)."""
+    import cv2
+
+    for cls in np.unique(img):
+        if cls == 0:
+            continue
+        binary = (img == cls).astype(np.uint8)
+        n, labels = cv2.connectedComponents(binary, connectivity=8)
+        for lbl in range(1, n):
+            if (labels == lbl).sum() < thresh:
+                img[labels == lbl] = 0
+    return img
+
+
+def preprocess_eval(img_org: np.ndarray, input_size) -> np.ndarray:
+    """test_mc3serousv5.py:100-127 — zoom + z-norm + batch dim, NHWC."""
+    img = zoom_resize(np.asarray(img_org), input_size[0], input_size[1],
+                      order=3)
+    img = z_normalize(img.astype(np.float64))
+    return to_model_input(img)[None]
+
+
+def make_predict_fn(trainer):
+    """Jitted argmax/softmax forward on the trainer's current (best) state."""
+    import jax
+
+    model = trainer.model
+    state = trainer.state
+
+    @jax.jit
+    def predict(x):
+        out = model.apply({"params": _model_params(state),
+                           "batch_stats": state.batch_stats}, x, train=False)
+        return out
+
+    return predict
+
+
+def _model_params(state):
+    p = state.params
+    if isinstance(p, dict) and "model" in p:
+        return p["model"]
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Results2Class
+# ---------------------------------------------------------------------------
+
+class Results2Class:
+    def __init__(self, save_dir, save_image=True):
+        self.classDict = {1: "other", 2: "immune"}
+        self.cellCounts = {k: [] for k in
+                           ("GT", "Pred", "AbsDiff", "Accuracy",
+                            "AccuracyRelative", "AccuracyRelativePD")}
+        self.immuneCounts = {k: [] for k in self.cellCounts}
+        self.ratio = {k: [] for k in self.cellCounts}
+        self.imageNames = []
+        self.G1metrics, self.G2metrics, self.G3metrics = [], [], []
+        self.label_colors = [(0, 0, 255), (0, 255, 0), (255, 0, 0)]
+        self.save_dir = save_dir
+        self.sigma_list = [10, 20]
+        self.sigma_thresh_list = list(np.arange(0.5, 1, 0.05))
+        S, T = len(self.sigma_list), len(self.sigma_thresh_list)
+        self.arr_prec_immune = np.zeros((S, T))
+        self.arr_recall_immune = np.zeros((S, T))
+        self.arr_f1_immune = np.zeros((S, T))
+        self.arr_prec_other = np.zeros((S, T))
+        self.arr_recall_other = np.zeros((S, T))
+        self.arr_f1_other = np.zeros((S, T))
+        self.save_image = save_image
+        self.performace_results = {}
+
+    def _find_objects(self, img):
+        import cv2
+
+        objectDict, counts = {}, {}
+        for cls in self.classDict:
+            mask = (img == cls).astype(np.uint8)
+            contours, _ = cv2.findContours(mask, cv2.RETR_EXTERNAL,
+                                           cv2.CHAIN_APPROX_SIMPLE)
+            counts[cls] = len(contours)
+            xs, ys = [], []
+            for contour in contours:
+                m = cv2.moments(contour)
+                if m["m00"] == 0:
+                    continue
+                xs.append(round(m["m10"] / m["m00"]))
+                ys.append(round(m["m01"] / m["m00"]))
+            objectDict[cls] = (np.array(xs), np.array(ys))
+        return objectDict, counts[1], counts[2]
+
+    def _create_rgb_mask(self, mask):
+        rgb = np.zeros((mask.shape[0], mask.shape[1], 3), np.uint8)
+        for i, color in enumerate(self.label_colors, start=1):
+            rgb[mask == i] = color
+        return rgb
+
+    def _save_visuals(self, img_org, mask_img, prediction, counts_gt,
+                      counts_pred):
+        plt = _plt()
+        fig, axs = plt.subplots(1, 3)
+        fig.set_figheight(12)
+        fig.set_figwidth(30)
+        if img_org.ndim == 3:
+            axs[0].imshow(img_org[..., ::-1])
+        else:
+            axs[0].imshow(img_org, cmap="gray")
+        axs[0].title.set_text("image")
+        axs[1].imshow(self._create_rgb_mask(mask_img))
+        axs[1].title.set_text("label")
+        fig.text(.51, .17, f"tumor: {counts_gt[0]}", ha="center", color="red")
+        fig.text(.51, .15, f"immune {counts_gt[1]}", ha="center",
+                 color="green")
+        axs[2].imshow(self._create_rgb_mask(prediction))
+        axs[2].title.set_text("prediction")
+        fig.text(.79, .17, f"tumor: {counts_pred[0]}", ha="center",
+                 color="red")
+        fig.text(.79, .15, f"immune {counts_pred[1]}", ha="center",
+                 color="green")
+        fig.savefig(os.path.join(self.save_dir, self.imageNames[-1]))
+        plt.close(fig)
+
+    def compare_images(self, img_org, gt_img, pred_img, gt_dot):
+        gt_dot_other = (gt_dot == 1).astype(np.float64)
+        gt_dot_immune = (gt_dot == 2).astype(np.float64)
+        cellCountGt = int(np.sum(gt_dot_other))
+        immuneCountGt = int(np.sum(gt_dot_immune))
+
+        predDict, cellCountPred, immuneCountPred = self._find_objects(pred_img)
+
+        for store, gt, pred in (
+                (self.cellCounts, cellCountGt, cellCountPred),
+                (self.immuneCounts, immuneCountGt, immuneCountPred)):
+            abs_diff, acc, rel, rpd = count_accuracy_metric(gt, pred)
+            store["GT"].append(gt)
+            store["Pred"].append(pred)
+            store["AbsDiff"].append(abs_diff)
+            store["Accuracy"].append(acc)
+            store["AccuracyRelative"].append(rel)
+            store["AccuracyRelativePD"].append(rpd)
+
+        ratioGT = immuneCountGt / max(cellCountGt + immuneCountGt, 1e-6)
+        ratioPred = immuneCountPred / max(cellCountPred + immuneCountPred,
+                                          1e-6)
+        abs_diff, acc, rel, rpd = count_accuracy_metric(ratioGT, ratioPred)
+        self.ratio["GT"].append(ratioGT)
+        self.ratio["Pred"].append(ratioPred)
+        self.ratio["AbsDiff"].append(round(abs_diff, 4))
+        self.ratio["Accuracy"].append(acc)
+        self.ratio["AccuracyRelative"].append(rel)
+        self.ratio["AccuracyRelativePD"].append(rpd)
+
+        def dot_map(coords, like):
+            m = np.zeros_like(like)
+            xs, ys = coords
+            for x, y in zip(xs, ys):
+                m[y, x] = 1
+            return m
+
+        e_dot_other = dot_map(predDict[1], gt_dot_other)
+        e_dot_immune = dot_map(predDict[2], gt_dot_immune)
+        size = gt_dot.shape[0]
+        for L, store in ((1, self.G1metrics), (2, self.G2metrics),
+                         (3, self.G3metrics)):
+            store.append(gmae(L, gt_dot_other, e_dot_other, size)
+                         + gmae(L, gt_dot_immune, e_dot_immune, size))
+
+        p, r, f = crowd_matching_test(gt_dot_immune, predDict[2],
+                                      self.sigma_list, self.sigma_thresh_list,
+                                      input_type="Coordinates")
+        self.arr_prec_immune += p
+        self.arr_recall_immune += r
+        self.arr_f1_immune += f
+        p, r, f = crowd_matching_test(gt_dot_other, predDict[1],
+                                      self.sigma_list, self.sigma_thresh_list,
+                                      input_type="Coordinates")
+        self.arr_prec_other += p
+        self.arr_recall_other += r
+        self.arr_f1_other += f
+
+        if self.save_image:
+            self._save_visuals(img_org, gt_img, pred_img,
+                               (cellCountGt, immuneCountGt),
+                               (cellCountPred, immuneCountPred))
+
+    # reference method name
+    compareImages = compare_images
+
+    def save(self):
+        import pandas as pd
+        from scipy.stats import pearsonr
+
+        performace_results = {
+            "sample name": self.imageNames,
+            "cell count Gold": self.cellCounts["GT"],
+            "cell count Pred": self.cellCounts["Pred"],
+            "cell abs diff": self.cellCounts["AbsDiff"],
+            "cell accuracy": self.cellCounts["Accuracy"],
+            "cell accuracy RD": self.cellCounts["AccuracyRelative"],
+            "cell accuracy RD Perantage": self.cellCounts["AccuracyRelativePD"],
+            "immune count Gold": self.immuneCounts["GT"],
+            "immune count Pred": self.immuneCounts["Pred"],
+            "immune abs diff": self.immuneCounts["AbsDiff"],
+            "immune accuracy": self.immuneCounts["Accuracy"],
+            "immune accuracy RD": self.immuneCounts["AccuracyRelative"],
+            "immune accuracy RD Perantage":
+                self.immuneCounts["AccuracyRelativePD"],
+            "ratio Gold": self.ratio["GT"],
+            "ratio Pred": self.ratio["Pred"],
+            "ratio abs diff": self.ratio["AbsDiff"],
+            "ratio accuracy": self.ratio["Accuracy"],
+            "ratio accuracy RD": self.ratio["AccuracyRelative"],
+            "ratio accuracy RD Perantage": self.ratio["AccuracyRelativePD"],
+        }
+        pd.DataFrame(performace_results).to_csv(
+            os.path.join(self.save_dir, "resultsData.csv"), index=False)
+
+        columns = ["gmae_cell", "gmae_cellAccuracyRelative",
+                   "gmae_cellAccuracyRelativePD", "gmae_immune",
+                   "gmae_immuneAccuracyRelative",
+                   "gmae_immuneAccuracyRelativePD"]
+        means = [pd.DataFrame(g, columns=columns).mean().to_numpy()
+                 for g in (self.G1metrics, self.G2metrics, self.G3metrics)]
+        pd.DataFrame(means, columns=columns,
+                     index=["G(1)", "G(2)", "G(3)"]).to_csv(
+            os.path.join(self.save_dir, "resultsGridCount.csv"), index=True)
+
+        n = max(len(self.imageNames), 1)
+        for arr in (self.arr_f1_immune, self.arr_prec_immune,
+                    self.arr_recall_immune, self.arr_f1_other,
+                    self.arr_prec_other, self.arr_recall_other):
+            arr /= n
+
+        columns = ["prec_cell", "recall_cell", "f1_cell", "prec_immune",
+                   "recall_immune", "f1_immune"]
+        index = ["sigma(5)", "sigma(20)", "sigma(5)_09", "sigma(20)_09"]
+
+        def sig_rows(sl):
+            pi = np.mean(self.arr_prec_immune[:, sl], axis=1)
+            ri = np.mean(self.arr_recall_immune[:, sl], axis=1)
+            fi = np.mean(self.arr_f1_immune[:, sl], axis=1)
+            po = np.mean(self.arr_prec_other[:, sl], axis=1)
+            ro = np.mean(self.arr_recall_other[:, sl], axis=1)
+            fo = np.mean(self.arr_f1_other[:, sl], axis=1)
+            return ([po[0], ro[0], fo[0], pi[0], ri[0], fi[0]],
+                    [po[1], ro[1], fo[1], pi[1], ri[1], fi[1]])
+
+        row1, row2 = sig_rows(slice(None))
+        row3, row4 = sig_rows(slice(None, -1))
+        pd.DataFrame([row1, row2, row3, row4], columns=columns,
+                     index=index).to_csv(
+            os.path.join(self.save_dir, "resultsMatching.csv"), index=True)
+
+        plt = _plt()
+        for gt_list, pred_list, name, lims in (
+                (self.immuneCounts["GT"], self.immuneCounts["Pred"],
+                 "resultsData_immune.png", None),
+                (self.immuneCounts["GT"], self.immuneCounts["Pred"],
+                 "resultsData_immune_200.png", 200),
+                (self.immuneCounts["GT"], self.immuneCounts["Pred"],
+                 "resultsData_immune_50.png", 50),
+                (self.cellCounts["GT"], self.cellCounts["Pred"],
+                 "resultsData_other.png", None)):
+            plt.scatter(gt_list, pred_list, c="black")
+            plt.xlabel("golds")
+            plt.ylabel("predictions")
+            max_limit = int(max(max(gt_list, default=0),
+                                max(pred_list, default=0))) + 100
+            lim = lims or max_limit
+            plt.xlim(0, lim)
+            plt.ylim(0, lim)
+            plt.plot(range(max_limit))
+            plt.savefig(os.path.join(self.save_dir, name))
+            plt.cla()
+        plt.close("all")
+
+        def _pearson(a, b):
+            if len(a) < 2 or np.std(a) == 0 or np.std(b) == 0:
+                return 0.0
+            return pearsonr(a, b)[0]
+
+        pearson_cell = _pearson(self.cellCounts["GT"], self.cellCounts["Pred"])
+        pearson_immune = _pearson(self.immuneCounts["GT"],
+                                  self.immuneCounts["Pred"])
+        pearson_ratio = _pearson(self.ratio["GT"], self.ratio["Pred"])
+
+        def mean(v):
+            return round(sum(v) / max(len(v), 1), 4)
+
+        filt_cell = [min(x, 5) for x in self.cellCounts["Accuracy"]]
+        filt_imm = [min(x, 5) for x in self.immuneCounts["Accuracy"]]
+        self.performace_results = {
+            "Cell MAE": mean(self.cellCounts["AbsDiff"]),
+            "Cell MRE": mean(filt_cell),
+            "Cell MRE max": mean(self.cellCounts["AccuracyRelative"]),
+            "Cell RPD": mean(self.cellCounts["AccuracyRelativePD"]),
+            "Cell Pearson r": pearson_cell,
+            "Immune MAE": mean(self.immuneCounts["AbsDiff"]),
+            "Immune MRE": mean(filt_imm),
+            "Immune MRE max": mean(self.immuneCounts["AccuracyRelative"]),
+            "Immune RPD": mean(self.immuneCounts["AccuracyRelativePD"]),
+            "Immune Pearson r": pearson_immune,
+            "Ratio MAE": mean(self.ratio["AbsDiff"]),
+            "Ratio MRE": mean(self.ratio["Accuracy"]),
+            "Ratio MRE max": mean(self.ratio["AccuracyRelative"]),
+            "Ratio RPD": mean(self.ratio["AccuracyRelativePD"]),
+            "Ratio pearson r": pearson_ratio,
+        }
+        df = pd.DataFrame(self.performace_results, index=[0])
+        df.to_csv(os.path.join(self.save_dir, "results.csv"), index=False)
+        df.to_csv(os.path.join(self.save_dir, "resultsC.csv"), index=False)
+
+    def get_results(self):
+        return self.performace_results
+
+    getResults = get_results
+
+
+# ---------------------------------------------------------------------------
+# Results3Class
+# ---------------------------------------------------------------------------
+
+class Results3Class:
+    """3-class centroid-matching accumulator (ref test_mc3serousv5.py:131-371);
+    the reference's never-initialised `edList` (its :269 latent bug) is fixed."""
+
+    def __init__(self, save_dir, iou_thresh=0.5, save_image=True):
+        self.smoothening_factor = 1e-6
+        self.classDict = {1: "other", 2: "immune", 3: "tumor"}
+        self.cellCounts = {"GT": [], "Pred": [], "Accuracy": []}
+        self.immuneCounts = {"GT": [], "Pred": [], "Accuracy": []}
+        self.tumorCounts = {"GT": [], "Pred": [], "Accuracy": []}
+        self.ratio = {"GTImmo": [], "PredImmo": [], "GTImmoTummor": [],
+                      "PredImmoTummor": [], "AccuracyImmoTummor": [],
+                      "AccuracyImmo": []}
+        self.classRes = {i: {"tp": 0, "fp": 0, "fn": 0, "tn": 0}
+                         for i in self.classDict}
+        self.tp = self.fp = self.fn = 0
+        self.precision, self.recall, self.f1 = [], [], []
+        self.edList = []
+        self.imageNames = []
+        self.label_colors = [(0, 0, 255), (0, 255, 0), (255, 0, 0)]
+        self.save_dir = save_dir
+        self.save_image = save_image
+        self.performace_results = {}
+
+    def _find_objects(self, img):
+        import cv2
+
+        objectDict = {}
+        counts = {cls: 0 for cls in self.classDict}
+        offset = 0
+        for cls in np.unique(img):
+            if cls == 0 or cls not in counts:
+                continue
+            mask = (img == cls).astype(np.uint8)
+            contours, _ = cv2.findContours(mask, cv2.RETR_EXTERNAL,
+                                           cv2.CHAIN_APPROX_SIMPLE)
+            counts[cls] = len(contours)
+            for i, contour in enumerate(contours):
+                objectDict[i + offset] = {"contour": contour, "class": cls}
+            offset += len(contours)
+        return objectDict, counts[1], counts[2], counts[3]
+
+    def compare_images(self, img_org, gt_img, pred_img):
+        import cv2
+        from scipy.spatial import distance
+
+        gtDict, cGT, iGT, tGT = self._find_objects(gt_img)
+        predDict, cP, iP, tP = self._find_objects(pred_img)
+        sf = self.smoothening_factor
+
+        for store, gt, pred in ((self.cellCounts, cGT, cP),
+                                (self.immuneCounts, iGT, iP),
+                                (self.tumorCounts, tGT, tP)):
+            store["GT"].append(gt)
+            store["Pred"].append(pred)
+            store["Accuracy"].append(round(abs(gt - pred) / (gt + sf), 4))
+
+        ratioImmoGT = iGT / (iGT + tGT + cGT + sf)
+        ratioImmoPred = iP / (iP + tP + cP + sf)
+        self.ratio["GTImmo"].append(ratioImmoGT)
+        self.ratio["PredImmo"].append(ratioImmoPred)
+        self.ratio["AccuracyImmo"].append(
+            round(abs(ratioImmoGT - ratioImmoPred), 4))
+        ratioITGT = iGT / (iGT + tGT + sf)
+        ratioITPred = iP / (iP + tP + sf)
+        self.ratio["GTImmoTummor"].append(ratioITGT)
+        self.ratio["PredImmoTummor"].append(ratioITPred)
+        self.ratio["AccuracyImmoTummor"].append(
+            round(abs(ratioITGT - ratioITPred), 4))
+
+        tp = 0
+        current = {i: {"tp": 0, "TotalGT": 0, "TotalPred": 0}
+                   for i in self.classDict}
+        pred_centers = {
+            k: cv2.minEnclosingCircle(v["contour"])[0]
+            for k, v in predDict.items()}
+        matched_pred = set()
+        for gt in gtDict:
+            (xg, yg), _ = cv2.minEnclosingCircle(gtDict[gt]["contour"])
+            current[gtDict[gt]["class"]]["TotalGT"] += 1
+            for pred, (xp, yp) in pred_centers.items():
+                if pred in matched_pred:
+                    continue
+                ed = distance.euclidean((xg, yg), (xp, yp))
+                if ed < 5 and predDict[pred]["class"] == gtDict[gt]["class"]:
+                    tp += 1
+                    current[predDict[pred]["class"]]["tp"] += 1
+                    self.edList.append(ed)
+                    matched_pred.add(pred)
+                    break
+        fp = len(predDict) - tp
+        fn = len(gtDict) - tp
+        self.tp += tp
+        self.fp += fp
+        self.fn += fn
+        for pred in predDict:
+            current[predDict[pred]["class"]]["TotalPred"] += 1
+        for i in self.classDict:
+            self.classRes[i]["tp"] += current[i]["tp"]
+            self.classRes[i]["fp"] += current[i]["TotalPred"] - current[i]["tp"]
+            self.classRes[i]["fn"] += current[i]["TotalGT"] - current[i]["tp"]
+        n_gt = max(len(gtDict), 1)
+        self.recall.append(round(tp / n_gt, 4))
+        self.precision.append(round(tp / max(tp + fp, 1), 4))
+        self.f1.append(round(tp / max(tp + 0.5 * (fp + fn), 1e-9), 4))
+
+    compareImages = compare_images
+
+    def save(self):
+        import pandas as pd
+
+        performace_results = {
+            "sample name": self.imageNames,
+            "precision": self.precision,
+            "recall": self.recall,
+            "f1": self.f1,
+            "cell count Gold": self.cellCounts["GT"],
+            "cell count Pred": self.cellCounts["Pred"],
+            "cell count accuracy": self.cellCounts["Accuracy"],
+            "immune count Gold": self.immuneCounts["GT"],
+            "immune count Pred": self.immuneCounts["Pred"],
+            "immune accuracy": self.immuneCounts["Accuracy"],
+            "tumor count Gold": self.tumorCounts["GT"],
+            "tumor count Pred": self.tumorCounts["Pred"],
+            "tumor count accuracy": self.tumorCounts["Accuracy"],
+            "ratio Gold - 1": self.ratio["GTImmo"],
+            "ratio Pred - 1": self.ratio["PredImmo"],
+            "ratio accuracy - 1": self.ratio["AccuracyImmo"],
+            "ratio Gold - 2": self.ratio["GTImmoTummor"],
+            "ratio Pred -2": self.ratio["PredImmoTummor"],
+            "ratio accuracy - 2": self.ratio["AccuracyImmoTummor"],
+        }
+        pd.DataFrame(performace_results).to_csv(
+            os.path.join(self.save_dir, "resultsData.csv"), index=False)
+
+        sf = self.smoothening_factor
+        precision = self.tp / max(self.tp + self.fp, 1)
+        recall = self.tp / max(self.tp + self.fn, 1)
+        f1score = 2 * precision * recall / max(precision + recall, sf)
+        meanPrecision = np.mean(self.precision) if self.precision else 0.0
+        meanRecall = np.mean(self.recall) if self.recall else 0.0
+        meanf1 = np.mean(self.f1) if self.f1 else 0.0
+        meanED = np.mean(self.edList) if self.edList else 0.0
+
+        plt = _plt()
+        plt.hist(self.edList, bins=20)
+        plt.savefig(os.path.join(self.save_dir, "EDhist.png"))
+        plt.close("all")
+
+        filt = {k: [min(x, 5) for x in v["Accuracy"]] for k, v in
+                (("cell", self.cellCounts), ("immune", self.immuneCounts),
+                 ("tumor", self.tumorCounts))}
+        classP, classR, classF = [], [], []
+        for cls in self.classRes:
+            tp, fp, fn = (self.classRes[cls][k] for k in ("tp", "fp", "fn"))
+            r = round(tp / max(tp + fn, 1), 4)
+            p = round(tp / (tp + fp + sf), 4)
+            f = round(2 * p * r / (p + r + sf), 4)
+            classP.append(p)
+            classR.append(r)
+            classF.append(f)
+
+        def mean(v):
+            return round(sum(v) / max(len(v), 1), 4)
+
+        self.performace_results = {
+            "precision": round(precision, 4) * 100,
+            "recall": round(recall, 4) * 100,
+            "f1": round(f1score, 4) * 100,
+            "mean Precision": round(float(meanPrecision), 4) * 100,
+            "mean Recall": round(float(meanRecall), 4) * 100,
+            "mean f1": round(float(meanf1), 4) * 100,
+            "mean IoU": round(float(meanED), 2),
+            "Cell Precesion": classP[0] * 100,
+            "Cell Recall": classR[0] * 100,
+            "Cell F1": classF[0] * 100,
+            "Cell Accuracy": mean(filt["cell"]),
+            "Immune Precesion": classP[1] * 100,
+            "Immune Recall": classR[1] * 100,
+            "Immune F1": classF[1] * 100,
+            "Immune Accuracy": mean(filt["immune"]),
+            "Tumor Precesion": classP[2] * 100,
+            "Tumor Recall": classR[2] * 100,
+            "Tumor F1": classF[2] * 100,
+            "Tumor Accuracy": mean(filt["tumor"]),
+            "Ratio Accuracy-1": mean(self.ratio["AccuracyImmo"]),
+            "Ratio Accuracy-2": mean(self.ratio["AccuracyImmoTummor"]),
+        }
+        pd.DataFrame(self.performace_results, index=[0]).to_csv(
+            os.path.join(self.save_dir, "results.csv"), index=False)
+
+    def get_results(self):
+        return self.performace_results
+
+    getResults = get_results
+
+
+# ---------------------------------------------------------------------------
+# density-regression results
+# ---------------------------------------------------------------------------
+
+class RegressionResults:
+    """Density-map counting eval (ref test_reg3serousv5mt.py:186-624): per head,
+    predicted count = sum(ReLU(out)/200); GAME grid; localisation via
+    peak_local_max; Pearson r; CSV suite."""
+
+    def __init__(self, save_dir, heads=("cell",)):
+        self.save_dir = save_dir
+        self.heads = heads
+        self.data = {h: {k: [] for k in
+                         ("GT", "Pred", "AbsDiff", "Accuracy",
+                          "AccuracyRelative", "AccuracyRelativePD")}
+                     for h in heads}
+        self.Gmetrics = {h: {1: [], 2: [], 3: []} for h in heads}
+        self.imageNames = []
+        self.performace_results = {}
+
+    def add(self, head, density_pred, gt_dot):
+        count_pred = float(np.sum(density_pred))
+        count_gt = float(np.sum(gt_dot))
+        abs_diff, acc, rel, rpd = count_accuracy_metric(count_gt, count_pred)
+        d = self.data[head]
+        d["GT"].append(count_gt)
+        d["Pred"].append(count_pred)
+        d["AbsDiff"].append(abs_diff)
+        d["Accuracy"].append(acc)
+        d["AccuracyRelative"].append(rel)
+        d["AccuracyRelativePD"].append(rpd)
+        size = gt_dot.shape[0]
+        for L in (1, 2, 3):
+            self.Gmetrics[head][L].append(gmae(L, gt_dot, density_pred, size))
+
+    def save(self):
+        import pandas as pd
+        from scipy.stats import pearsonr
+
+        table = {"sample name": self.imageNames}
+        for h in self.heads:
+            d = self.data[h]
+            table.update({
+                f"{h} count Gold": d["GT"],
+                f"{h} count Pred": d["Pred"],
+                f"{h} abs diff": d["AbsDiff"],
+                f"{h} accuracy": d["Accuracy"],
+                f"{h} accuracy RD": d["AccuracyRelative"],
+                f"{h} accuracy RD Perantage": d["AccuracyRelativePD"],
+            })
+        pd.DataFrame(table).to_csv(
+            os.path.join(self.save_dir, "resultsData.csv"), index=False)
+
+        grid_rows = {}
+        for h in self.heads:
+            for L in (1, 2, 3):
+                arr = np.asarray(self.Gmetrics[h][L], dtype=float)
+                grid_rows[f"{h} G({L})"] = arr.mean(axis=0) if len(arr) else \
+                    np.zeros(3)
+        pd.DataFrame(grid_rows, index=["gmae", "gmaeRelative", "gmaeRPD"]
+                     ).transpose().to_csv(
+            os.path.join(self.save_dir, "resultsGridCount.csv"), index=True)
+
+        def mean(v):
+            return round(sum(v) / max(len(v), 1), 4)
+
+        res = {}
+        plt = _plt()
+        for h in self.heads:
+            d = self.data[h]
+            if len(d["GT"]) >= 2 and np.std(d["GT"]) > 0 and \
+                    np.std(d["Pred"]) > 0:
+                r = pearsonr(d["GT"], d["Pred"])[0]
+            else:
+                r = 0.0
+            filt = [min(x, 5) for x in d["Accuracy"]]
+            res.update({
+                f"{h} MAE": mean(d["AbsDiff"]),
+                f"{h} MRE": mean(filt),
+                f"{h} MRE max": mean(d["AccuracyRelative"]),
+                f"{h} RPD": mean(d["AccuracyRelativePD"]),
+                f"{h} Pearson r": r,
+            })
+            plt.scatter(d["GT"], d["Pred"], c="black")
+            plt.xlabel("golds")
+            plt.ylabel("predictions")
+            lim = int(max(max(d["GT"], default=0),
+                          max(d["Pred"], default=0))) + 100
+            plt.xlim(0, lim)
+            plt.ylim(0, lim)
+            plt.plot(range(lim))
+            plt.savefig(os.path.join(self.save_dir, f"resultsData_{h}.png"))
+            plt.cla()
+        plt.close("all")
+        self.performace_results = res
+        pd.DataFrame(res, index=[0]).to_csv(
+            os.path.join(self.save_dir, "results.csv"), index=False)
+
+    def get_results(self):
+        return self.performace_results
+
+
+# ---------------------------------------------------------------------------
+# entry points (train.py:358-371 dispatch targets)
+# ---------------------------------------------------------------------------
+
+def _load_eval_image(img_path, ch):
+    import cv2
+
+    if ch == 1:
+        return cv2.imread(img_path, 0)
+    return cv2.imread(img_path)
+
+
+def test_single_mc(trainer, input_size, ch, num_class, image_list, save_dir):
+    """Multi-class segmentation eval (ref test_mc3serousv5.py:859-900):
+    softmax->argmax->zoom back->compare against *_label_mc.png/*_gt_dot_mc.png."""
+    import cv2
+    import jax
+
+    os.makedirs(save_dir, exist_ok=True)
+    if num_class == 3:
+        res = Results2Class(save_dir, True)
+    elif num_class == 4:
+        res = Results3Class(save_dir)
+    else:
+        raise ValueError(f"invalid Num_Class {num_class} for test_single_mc")
+
+    predict = make_predict_fn(trainer)
+    for img_path in image_list:
+        image_name = os.path.basename(img_path)
+        img_org = _load_eval_image(img_path, ch)
+        h, w = img_org.shape[:2]
+        x = preprocess_eval(img_org, input_size).astype(np.float32)
+        out = np.asarray(predict(x))[0]
+        pred = np.argmax(out, axis=-1)
+        if (h, w) != tuple(input_size):
+            pred = zoom_resize(pred, h, w, order=0)
+        pred = np.uint8(pred)
+
+        label = cv2.imread(img_path.replace(".png", "_label_mc.png"), 0)
+        gt_dot_path = img_path.replace(".png", "_gt_dot_mc.png")
+        if not os.path.exists(gt_dot_path):
+            gt_dot_path = img_path.replace(".png", "_gt_dot.png")
+        gt_dot = cv2.imread(gt_dot_path, 0)
+        res.imageNames.append(image_name)
+        if num_class == 3:
+            res.compare_images(img_org, label, pred, gt_dot)
+        else:
+            res.compare_images(img_org, label, pred)
+    res.save()
+    return res.get_results()
+
+
+def test_single_reg(trainer, input_size, ch, num_class, image_list, save_dir):
+    """Single-head density regression eval (ref test_mc3serousv5.py:903-1335)."""
+    os.makedirs(save_dir, exist_ok=True)
+    res = RegressionResults(save_dir, heads=("cell",))
+    predict = make_predict_fn(trainer)
+    for img_path in image_list:
+        res.imageNames.append(os.path.basename(img_path))
+        img_org = _load_eval_image(img_path, ch)
+        x = preprocess_eval(img_org, input_size).astype(np.float32)
+        out = np.asarray(predict(x))[0, ..., 0]
+        density = np.maximum(out, 0) / 200.0
+        gt = np.load(img_path[: img_path.rfind(".")] + "_label_reg.npy")
+        if gt.ndim == 3:
+            gt = gt.sum(axis=-1)
+        gt = zoom_resize(gt, input_size[0], input_size[1], order=0)
+        res.add("cell", density, gt)
+    res.save()
+    return res.get_results()
+
+
+def test_multiple_reg(trainer, input_size, ch, num_class, image_list,
+                      save_dir):
+    """Two-head density regression eval (ref test_reg3serousv5mt.py:186-624)."""
+    os.makedirs(save_dir, exist_ok=True)
+    res = RegressionResults(save_dir, heads=("immune", "other"))
+    predict = make_predict_fn(trainer)
+    for img_path in image_list:
+        res.imageNames.append(os.path.basename(img_path))
+        img_org = _load_eval_image(img_path, ch)
+        x = preprocess_eval(img_org, input_size).astype(np.float32)
+        o1, o2 = predict(x)
+        stem = img_path[: img_path.rfind(".")]
+        for head, out, suffix in (("immune", o1, "_label_immune_reg.npy"),
+                                  ("other", o2, "_label_other_reg.npy")):
+            density = np.maximum(np.asarray(out)[0, ..., 0], 0) / 200.0
+            gt = np.load(stem + suffix)
+            gt = zoom_resize(gt, input_size[0], input_size[1], order=0)
+            res.add(head, density, gt)
+    res.save()
+    return res.get_results()

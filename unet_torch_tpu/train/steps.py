@@ -1,0 +1,190 @@
+"""Jit-compiled train/eval step functions.
+
+Each factory closes over the model and optimizer and returns pure functions
+``(state, batch, lr, rng) -> (state, metrics)`` compiled once by XLA.  This is the
+TPU-native replacement for the reference's五 Python batch loops
+(/root/reference/Trainer.py:113-129 dispatch): forward, loss, backward, optimizer
+update, poly-LR injection and BatchNorm stat update all fuse into one program;
+the only host work per step is feeding the next batch.
+
+The learning rate enters as a traced scalar (optax inject_hyperparams), so the
+per-iteration poly decay (Trainer.py:722-725) costs no recompilation.
+
+Under a sharded-batch `jax.sharding.Mesh`, these same functions run SPMD: XLA
+inserts the gradient/batch-stat psums over the ``data`` axis (the reference's
+dormant NCCL path, CLTR/misc.py:442-464, has no equivalent code here — the
+computation *is* the distributed program).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from unet_torch_tpu.losses import calc_loss, topo_loss
+from unet_torch_tpu.train.state import TrainState
+
+
+def _set_lr(opt_state, lr):
+    # optax.inject_hyperparams stores hyperparams in a dict on the state;
+    # assignment inside jit swaps in the traced scalar.
+    opt_state.hyperparams["learning_rate"] = lr
+    return opt_state
+
+
+def _apply(model, params, batch_stats, x, *, train: bool, rng=None):
+    variables = {"params": params, "batch_stats": batch_stats}
+    rngs = {"dropout": rng} if rng is not None else None
+    if train:
+        out, mut = model.apply(variables, x, train=True,
+                               mutable=["batch_stats"], rngs=rngs)
+        return out, mut["batch_stats"]
+    return model.apply(variables, x, train=False), batch_stats
+
+
+def make_single_steps(model, tx, loss_type: str, accuracy_metric: str,
+                      num_classes: int, relu_output: bool = False):
+    """Steps for the `singe_train` loop (Trainer.py:663-829): one output head,
+    config-string loss; `regression`/`regression_t` apply ReLU to the logits
+    (Trainer.py:709-710)."""
+
+    def loss_fn(out, y, loss_name):
+        if relu_output:
+            out = jax.nn.relu(out)
+        return calc_loss(out, y, loss_type=loss_name, num_classes=num_classes)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def train_step(state: TrainState, x, y, lr, rng):
+        def objective(params):
+            out, bs = _apply(model, params, state.batch_stats, x, train=True,
+                             rng=rng)
+            return loss_fn(out, y, loss_type), bs
+
+        (loss, bs), grads = jax.value_and_grad(objective, has_aux=True)(
+            state.params)
+        opt_state = _set_lr(state.opt_state, lr)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, batch_stats=bs,
+                             opt_state=opt_state, step=state.step + 1), loss
+
+    @jax.jit
+    def eval_step(state: TrainState, x, y):
+        out, _ = _apply(model, state.params, state.batch_stats, x, train=False)
+        loss = loss_fn(out, y, loss_type)
+        score = loss_fn(out, y, accuracy_metric)
+        return loss, score, out
+
+    return train_step, eval_step
+
+
+def make_multitask_steps(model, tx, loss_type: str, num_classes: int,
+                         combine: str = "sum"):
+    """Steps for the two-head loops (Trainer.py:831-992 sum, :994-1172
+    uncertainty, :1174-1366 ratio).  Both heads pass through ReLU before the loss
+    (Trainer.py:881-883); `uncertainty`/`ratio` fix the per-head loss to mse
+    (Trainer.py:1057-1060, 1230-1233).
+
+    For `combine='uncertainty'`, `state.params` must be the joint pytree
+    {'model': ..., 'log_vars': (2,)} — the learned log-variances ride the same
+    optimizer, mirroring Trainer.py:1003-1009.
+    """
+    per_head_loss = loss_type if combine == "sum" else "mse"
+
+    def heads(params, batch_stats, x, train, rng=None):
+        p = params["model"] if combine == "uncertainty" else params
+        (o1, o2), bs = _apply(model, p, batch_stats, x, train=train, rng=rng)
+        return jax.nn.relu(o1), jax.nn.relu(o2), bs
+
+    def combined(params, o1, o2, y1, y2, use_ratio):
+        l1 = calc_loss(o1, y1, loss_type=per_head_loss, num_classes=num_classes)
+        l2 = calc_loss(o2, y2, loss_type=per_head_loss, num_classes=num_classes)
+        if combine == "uncertainty":
+            log_vars = params["log_vars"]
+            stds = jnp.exp(log_vars) ** 0.5
+            coeff = 1.0 / (2.0 * stds**2)
+            loss = (coeff[0] * l1 + jnp.log(stds[0]) +
+                    coeff[1] * l2 + jnp.log(stds[1]))
+        elif combine == "ratio":
+            # Trainer.py:1235-1248 — after epoch 5 weight by the immune/other
+            # count-ratio error.
+            c1_gt = jnp.sum(y1, axis=(1, 2))
+            c1_pr = jnp.sum(o1[..., 0], axis=(1, 2))
+            c2_gt = jnp.sum(y2, axis=(1, 2))
+            c2_pr = jnp.sum(o2[..., 0], axis=(1, 2))
+            ratio_gt = c1_gt / (c1_gt + c2_gt)
+            ratio_pr = c1_pr / (c1_pr + c2_pr)
+            ratio_acc = jnp.mean(jnp.abs(ratio_gt - ratio_pr))
+            loss = jnp.where(use_ratio, (l1 + l2) * (1.0 + 10.0 * ratio_acc),
+                             l1 + l2)
+        else:
+            loss = l1 + l2
+        return loss, (l1, l2)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def train_step(state: TrainState, x, y1, y2, lr, rng, use_ratio):
+        def objective(params):
+            o1, o2, bs = heads(params, state.batch_stats, x, True, rng)
+            loss, aux = combined(params, o1, o2, y1, y2, use_ratio)
+            return loss, (bs, aux)
+
+        (loss, (bs, aux)), grads = jax.value_and_grad(
+            objective, has_aux=True)(state.params)
+        opt_state = _set_lr(state.opt_state, lr)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, batch_stats=bs,
+                                  opt_state=opt_state, step=state.step + 1)
+        return new_state, loss, aux[0], aux[1]
+
+    @jax.jit
+    def eval_step(state: TrainState, x, y1, y2, use_ratio):
+        o1, o2, _ = heads(state.params, state.batch_stats, x, False)
+        loss, (l1, l2) = combined(state.params, o1, o2, y1, y2, use_ratio)
+        return loss, l1, l2, o1, o2
+
+    return train_step, eval_step
+
+
+def make_topo_steps(model, tx, loss_type: str, num_classes: int,
+                    relu_output: bool = False, max_bars: int = 64):
+    """Steps for `singe_train_wup` (Trainer.py:291-479): epochs <=5 train with
+    dice_bce, afterwards with the topological loss against [labels, gt_dot]."""
+
+    def forward(params, batch_stats, x, train, rng=None):
+        out, bs = _apply(model, params, batch_stats, x, train=train, rng=rng)
+        if relu_output:
+            out = jax.nn.relu(out)
+        return out, bs
+
+    def _make(loss_fn):
+        @functools.partial(jax.jit, donate_argnums=0)
+        def step(state, x, y, gt_dot, lr, rng):
+            def objective(params):
+                out, bs = forward(params, state.batch_stats, x, True, rng)
+                return loss_fn(out, y, gt_dot), bs
+
+            (loss, bs), grads = jax.value_and_grad(objective, has_aux=True)(
+                state.params)
+            opt_state = _set_lr(state.opt_state, lr)
+            updates, opt_state = tx.update(grads, opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(params=params, batch_stats=bs,
+                                 opt_state=opt_state,
+                                 step=state.step + 1), loss
+
+        @jax.jit
+        def eval_step(state, x, y, gt_dot):
+            out, _ = forward(state.params, state.batch_stats, x, False)
+            return loss_fn(out, y, gt_dot), out
+
+        return step, eval_step
+
+    warm = _make(lambda out, y, dot: calc_loss(out, y, loss_type="dice_bce",
+                                               num_classes=num_classes))
+    topo = _make(lambda out, y, dot: topo_loss(out, y, max_bars=max_bars))
+    return warm, topo
