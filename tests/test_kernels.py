@@ -1,0 +1,48 @@
+"""Pallas kernels vs XLA oracles (interpret mode on the CPU test backend)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from unet_torch_tpu.kernels.attention import (
+    _attention_pallas,
+    attention_reference,
+    fused_attention,
+)
+from unet_torch_tpu.kernels.minplus import minplus_pallas, minplus_reference
+
+
+def test_fused_attention_matches_reference():
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(2, 4, 64, 32), jnp.float32)
+    k = jnp.asarray(rng.randn(2, 4, 48, 32), jnp.float32)
+    v = jnp.asarray(rng.randn(2, 4, 48, 16), jnp.float32)
+    scale = 32 ** -0.5
+    ref = attention_reference(q, k, v, scale)
+    out = _attention_pallas(q, k, v, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_attention_masked_fallback():
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(1, 2, 8, 16), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 2, 8, 16), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 2, 8, 16), jnp.float32)
+    mask = jnp.zeros((1, 8), bool).at[0, 5:].set(True)
+    out = fused_attention(q, k, v, key_padding_mask=mask)
+    # masked keys get zero weight: recompute manually
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) * 16**-0.5
+    s[..., 5:] = -np.inf
+    e = np.exp(s - s.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bhkd->bhqd", p, np.asarray(v))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_minplus_matches_reference():
+    rng = np.random.RandomState(2)
+    a = jnp.asarray(rng.rand(70, 50) * 100, jnp.float32)
+    b = jnp.asarray(rng.rand(50, 90) * 100, jnp.float32)
+    ref = minplus_reference(a, b)
+    out = minplus_pallas(a, b, tm=32, tn=32, tk=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

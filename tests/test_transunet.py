@@ -1,0 +1,175 @@
+"""TransUnet family: golden shapes, upsample parity, npz loader round-trip."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from unet_torch_tpu.models.transunet import (
+    CONFIGS,
+    ResNetV2,
+    VisionTransformer,
+    VisionTransformerMultitask,
+    bilinear_upsample_2x,
+    build_transunet,
+    load_npz_into_params,
+)
+
+
+def small_r50_config(img_size=64, hidden=16, layers=2, heads=2):
+    import copy
+
+    c = copy.deepcopy(CONFIGS["R50-ViT-B_16"])
+    c.hidden_size = hidden
+    c.transformer.mlp_dim = hidden * 2
+    c.transformer.num_layers = layers
+    c.transformer.num_heads = heads
+    c.n_classes = 3
+    c.n_skip = 3
+    c.patches.grid = (img_size // 16, img_size // 16)
+    c.resnet.num_layers = (1, 1, 1)
+    return c
+
+
+def test_bilinear_upsample_matches_torch_align_corners():
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 7, 9, 3).astype(np.float32)
+    ours = np.asarray(bilinear_upsample_2x(jnp.asarray(x)))
+    ref = torch.nn.UpsamplingBilinear2d(scale_factor=2)(
+        torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_resnetv2_shapes():
+    model = ResNetV2(block_units=(1, 1, 1), width_factor=1)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.key(0), x)
+    out, feats = model.apply(variables, x)
+    assert out.shape == (1, 4, 4, 1024)  # 64/16
+    assert feats[0].shape == (1, 8, 8, 512)
+    assert feats[1].shape == (1, 16, 16, 256)
+    assert feats[2].shape == (1, 32, 32, 64)
+
+
+def test_transunet_forward_shape():
+    c = small_r50_config()
+    model = VisionTransformer(c, img_size=64, num_classes=3)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.key(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 64, 64, 3)
+
+
+def test_transunet_gray_input_repeats():
+    c = small_r50_config()
+    model = VisionTransformer(c, img_size=64, num_classes=2)
+    x = jnp.zeros((1, 64, 64, 1))
+    variables = model.init(jax.random.key(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 64, 64, 2)
+
+
+def test_transunet_multitask_two_heads():
+    c = small_r50_config()
+    model = VisionTransformerMultitask(c, img_size=64, num_classes=1)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.key(0), x, train=False)
+    o1, o2 = model.apply(variables, x, train=False)
+    assert o1.shape == (1, 64, 64, 1) and o2.shape == (1, 64, 64, 1)
+
+
+def test_npz_loader_roundtrip():
+    """Build a synthetic npz in the checkpoint's key layout and verify every
+    tensor lands in the right parameter (vit_seg_modeling.py:394-441 parity)."""
+    c = small_r50_config()
+    model = VisionTransformer(c, img_size=64, num_classes=3)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.key(0), x, train=False)
+    params = variables["params"]
+
+    rng = np.random.RandomState(1)
+    hidden, heads = c.hidden_size, c.transformer.num_heads
+    d = hidden // heads
+    w = {}
+    width = 64
+    w["embedding/kernel"] = rng.randn(1, 1, width * 16, hidden).astype(
+        np.float32)
+    w["embedding/bias"] = rng.randn(hidden).astype(np.float32)
+    grid = 64 // 16
+    w["Transformer/posembed_input/pos_embedding"] = rng.randn(
+        1, grid * grid, hidden).astype(np.float32)
+    w["Transformer/encoder_norm/scale"] = rng.randn(hidden).astype(np.float32)
+    w["Transformer/encoder_norm/bias"] = rng.randn(hidden).astype(np.float32)
+    for i in range(c.transformer.num_layers):
+        root = f"Transformer/encoderblock_{i}"
+        for nm in ("query", "key", "value"):
+            w[f"{root}/MultiHeadDotProductAttention_1/{nm}/kernel"] = \
+                rng.randn(hidden, heads, d).astype(np.float32)
+            w[f"{root}/MultiHeadDotProductAttention_1/{nm}/bias"] = \
+                rng.randn(heads, d).astype(np.float32)
+        w[f"{root}/MultiHeadDotProductAttention_1/out/kernel"] = \
+            rng.randn(heads, d, hidden).astype(np.float32)
+        w[f"{root}/MultiHeadDotProductAttention_1/out/bias"] = \
+            rng.randn(hidden).astype(np.float32)
+        w[f"{root}/MlpBlock_3/Dense_0/kernel"] = rng.randn(
+            hidden, c.transformer.mlp_dim).astype(np.float32)
+        w[f"{root}/MlpBlock_3/Dense_0/bias"] = rng.randn(
+            c.transformer.mlp_dim).astype(np.float32)
+        w[f"{root}/MlpBlock_3/Dense_1/kernel"] = rng.randn(
+            c.transformer.mlp_dim, hidden).astype(np.float32)
+        w[f"{root}/MlpBlock_3/Dense_1/bias"] = rng.randn(hidden).astype(
+            np.float32)
+        w[f"{root}/LayerNorm_0/scale"] = rng.randn(hidden).astype(np.float32)
+        w[f"{root}/LayerNorm_0/bias"] = rng.randn(hidden).astype(np.float32)
+        w[f"{root}/LayerNorm_2/scale"] = rng.randn(hidden).astype(np.float32)
+        w[f"{root}/LayerNorm_2/bias"] = rng.randn(hidden).astype(np.float32)
+    w["conv_root/kernel"] = rng.randn(7, 7, 3, width).astype(np.float32)
+    w["gn_root/scale"] = rng.randn(width).astype(np.float32)
+    w["gn_root/bias"] = rng.randn(width).astype(np.float32)
+    specs = [(width * 4, width), (width * 8, width * 2),
+             (width * 16, width * 4)]
+    for b, n_units in enumerate(c.resnet.num_layers, start=1):
+        cout, cmid = specs[b - 1]
+        cin = width if b == 1 else specs[b - 2][0]
+        for u in range(1, n_units + 1):
+            root = f"block{b}/unit{u}"
+            w[f"{root}/conv1/kernel"] = rng.randn(1, 1, cin, cmid).astype(
+                np.float32)
+            w[f"{root}/conv2/kernel"] = rng.randn(3, 3, cmid, cmid).astype(
+                np.float32)
+            w[f"{root}/conv3/kernel"] = rng.randn(1, 1, cmid, cout).astype(
+                np.float32)
+            for gn, nfeat in (("gn1", cmid), ("gn2", cmid), ("gn3", cout)):
+                w[f"{root}/{gn}/scale"] = rng.randn(nfeat).astype(np.float32)
+                w[f"{root}/{gn}/bias"] = rng.randn(nfeat).astype(np.float32)
+            w[f"{root}/conv_proj/kernel"] = rng.randn(1, 1, cin, cout).astype(
+                np.float32)
+            w[f"{root}/gn_proj/scale"] = rng.randn(cout).astype(np.float32)
+            w[f"{root}/gn_proj/bias"] = rng.randn(cout).astype(np.float32)
+
+    loaded = load_npz_into_params(params, w, c)
+    lp = loaded["transformer"]
+    np.testing.assert_array_equal(
+        lp["embeddings"]["patch_embeddings"]["kernel"], w["embedding/kernel"])
+    np.testing.assert_array_equal(
+        lp["encoder"]["encoderblock_0"]["attn"]["query"]["kernel"],
+        w["Transformer/encoderblock_0/MultiHeadDotProductAttention_1/query"
+          "/kernel"].reshape(hidden, hidden))
+    np.testing.assert_array_equal(
+        lp["embeddings"]["hybrid_model"]["block1_unit1"]["conv2"]["kernel"],
+        w["block1/unit1/conv2/kernel"])
+    # loaded model still runs
+    out = model.apply({"params": loaded,
+                       "batch_stats": variables.get("batch_stats", {})},
+                      x, train=False)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_build_transunet_factory():
+    m = build_transunet("TransUnet", img_size=224, n_channels=3,
+                        num_classes=4)
+    assert isinstance(m, VisionTransformer)
+    assert m.config.patches.grid == (14, 14)
+    assert m.config.n_classes == 4

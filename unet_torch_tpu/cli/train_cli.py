@@ -98,9 +98,13 @@ def build_datasets_and_model(cfg: Config, seed: int):
             mt, img_size=input_size[0], n_channels=m.channel,
             num_classes=m.num_class)
     elif mt == "CLTR":
-        from unet_torch_tpu.models.cltr import build_cltr_default
+        # the reference reads CLTR/CLTRconfig.yml (train.py:274-275); we allow
+        # the same flat args inline under a `cltr_config` key
+        from unet_torch_tpu.models.cltr import build_cltr
 
-        model = build_cltr_default()
+        cltr_args = dict(cfg.raw.get("cltr_config", {}))
+        model, criterion, _post = build_cltr(cltr_args)
+        build_datasets_and_model.last_cltr_criterion = criterion
     else:
         model = build_model(mt, n_channels=m.channel, n_classes=m.num_class,
                             base=m.initial_filter_size, dropout=m.dropout,
@@ -133,9 +137,18 @@ def run_training(cfg: Config):
         print(f"Val set size: {len(val_ds)}")
         print(f"Loss Function: {cfg.train.loss}")
 
-        train_loader = NumpyLoader(train_ds, cfg.train.batch_size,
-                                   shuffle=True, seed=seed)
-        val_loader = NumpyLoader(val_ds, 1, shuffle=False)
+        if cfg.model.model_type == "CLTR":
+            from unet_torch_tpu.train.cltr_loop import cltr_collate
+
+            train_loader = NumpyLoader(train_ds, cfg.train.batch_size,
+                                       shuffle=True, seed=seed,
+                                       collate_fn=cltr_collate)
+            val_loader = NumpyLoader(val_ds, 1, shuffle=False,
+                                     collate_fn=lambda items: items[0])
+        else:
+            train_loader = NumpyLoader(train_ds, cfg.train.batch_size,
+                                       shuffle=True, seed=seed)
+            val_loader = NumpyLoader(val_ds, 1, shuffle=False)
         dataloaders = {"train": train_loader, "val": val_loader}
 
         trainer = Trainer(
@@ -148,6 +161,9 @@ def run_training(cfg: Config):
             lr_scheduler=cfg.train.adaptive_lr,
             start_epoch=cfg.resume.epoch if cfg.resume.flag else 1,
             seed=seed)
+        if cfg.model.model_type == "CLTR":
+            trainer.criterion = getattr(build_datasets_and_model,
+                                        "last_cltr_criterion", None)
         if cfg.resume.flag:
             _resume(trainer, cfg)
         trainer.train()

@@ -211,17 +211,24 @@ class DataPointReg(_Base):
         self.dot_shape = dot_shape
 
     def create_label_coordinates(self, tsv_path):
-        """Dot map from TSV (cols x, y, class) with x,y halved (ref :866-893)."""
-        import pandas as pd
+        """Dot map from TSV (cols x, y, class) with x,y halved (ref :866-893).
 
+        Parsed with plain Python, not pandas: this runs inside the prefetch
+        thread and pandas' pyarrow string path is not thread-safe here.
+        """
         img_label = np.zeros(self.dot_shape, np.float64)
-        data = pd.read_csv(tsv_path, sep="\t")
-        for _, row in data.iterrows():
-            x = int(np.rint(row["x"] / 2)) - 1
-            y = int(np.rint(row["y"] / 2)) - 1
-            x = min(max(x, 0), img_label.shape[1] - 1)
-            y = min(max(y, 0), img_label.shape[0] - 1)
-            img_label[y, x] = 1
+        with open(tsv_path) as f:
+            header = f.readline().rstrip("\n").split("\t")
+            xi, yi = header.index("x"), header.index("y")
+            for line in f:
+                cols = line.rstrip("\n").split("\t")
+                if len(cols) <= max(xi, yi) or not cols[xi]:
+                    continue
+                x = int(np.rint(float(cols[xi]) / 2)) - 1
+                y = int(np.rint(float(cols[yi]) / 2)) - 1
+                x = min(max(x, 0), img_label.shape[1] - 1)
+                y = min(max(y, 0), img_label.shape[0] - 1)
+                img_label[y, x] = 1
         return img_label
 
     def knn_distances(self, points: np.ndarray) -> np.ndarray:

@@ -670,6 +670,243 @@ class RegressionResults:
 
 
 # ---------------------------------------------------------------------------
+# ResultsCC — binary counting/localization accumulator (ref test.py:159-372)
+# ---------------------------------------------------------------------------
+
+class ResultsCC:
+    def __init__(self, save_dir, save_img=False):
+        self.save_dir = save_dir
+        self.save_image = save_img
+        self.imageNames = []
+        self.recall, self.precision, self.f1 = [], [], []
+        self.G1metrics, self.G2metrics, self.G3metrics = [], [], []
+        self.GT, self.Pred = [], []
+        self.AbsDiff, self.RelativeAccuracy = [], []
+        self.sigma_list = [5, 20]
+        self.sigma_thresh_list = list(np.arange(0.5, 1, 0.05))
+        S, T = len(self.sigma_list), len(self.sigma_thresh_list)
+        self.arr_prec = np.zeros((S, T))
+        self.arr_recall = np.zeros((S, T))
+        self.arr_f1 = np.zeros((S, T))
+        self.performace_results = {}
+
+    def _find_objects(self, img):
+        from unet_torch_tpu.eval.matching import (
+            calculate_estimated_coordinates,
+        )
+        import cv2
+
+        contours, _ = cv2.findContours(img.astype(np.uint8),
+                                       cv2.RETR_EXTERNAL,
+                                       cv2.CHAIN_APPROX_SIMPLE)
+        coords = calculate_estimated_coordinates(img)
+        return coords, len(contours)
+
+    def compare_images(self, img_org, gt_img, pred_img, gt_dot):
+        from unet_torch_tpu.eval.matching import crowd_matching_greedy
+
+        cellCountGt = int(np.sum(gt_dot))
+        predLocalization, cellCountPred = self._find_objects(pred_img)
+        abs_diff, acc, _, _ = count_accuracy_metric(cellCountGt,
+                                                    cellCountPred)
+        self.GT.append(cellCountGt)
+        self.Pred.append(cellCountPred)
+        self.AbsDiff.append(abs_diff)
+        self.RelativeAccuracy.append(acc)
+
+        e_dot = np.zeros_like(gt_dot)
+        xs, ys = predLocalization
+        for x, y in zip(xs, ys):
+            e_dot[y, x] = 1
+        size = gt_dot.shape[0]
+        for L, store in ((1, self.G1metrics), (2, self.G2metrics),
+                         (3, self.G3metrics)):
+            store.append(gmae(L, gt_dot, e_dot, size)[0])
+
+        p, r, f = crowd_matching_test(gt_dot, predLocalization,
+                                      self.sigma_list,
+                                      self.sigma_thresh_list,
+                                      input_type="Coordinates")
+        self.arr_prec += p
+        self.arr_recall += r
+        self.arr_f1 += f
+        pr, rc, f1 = crowd_matching_greedy(gt_dot, predLocalization, 10)
+        self.precision.append(pr)
+        self.recall.append(rc)
+        self.f1.append(f1)
+
+        if self.save_image:
+            plt = _plt()
+            fig, axs = plt.subplots(1, 3)
+            fig.set_figheight(12)
+            fig.set_figwidth(30)
+            if img_org.ndim == 3:
+                axs[0].imshow(img_org[..., ::-1])
+            else:
+                axs[0].imshow(img_org, cmap="gray")
+            axs[0].title.set_text("image")
+            axs[1].imshow(gt_img)
+            axs[1].title.set_text("label")
+            fig.text(.51, .17, f"cell: {cellCountGt}", ha="center",
+                     color="red")
+            axs[2].imshow(pred_img)
+            axs[2].title.set_text("prediction")
+            fig.text(.79, .17, f"cell: {cellCountPred}", ha="center",
+                     color="red")
+            fig.savefig(os.path.join(self.save_dir, self.imageNames[-1]))
+            plt.close(fig)
+
+    compareImages = compare_images
+
+    def save(self):
+        import pandas as pd
+        from scipy.stats import pearsonr
+
+        pd.DataFrame({
+            "sample name": self.imageNames,
+            "cell count Gold": self.GT,
+            "cell count Pred": self.Pred,
+            "cell abs diff": self.AbsDiff,
+            "cell accuracy": self.RelativeAccuracy,
+            "precision": self.precision,
+            "recall": self.recall,
+            "f1": self.f1,
+        }).to_csv(os.path.join(self.save_dir, "resultsData.csv"),
+                  index=False)
+
+        n = max(len(self.imageNames), 1)
+        if len(self.GT) >= 2 and np.std(self.GT) > 0 and \
+                np.std(self.Pred) > 0:
+            pearson = pearsonr(self.GT, self.Pred)[0]
+        else:
+            pearson = 0.0
+        self.arr_f1 /= n
+        self.arr_prec /= n
+        self.arr_recall /= n
+
+        columns = ["prec_cell", "recall_cell", "f1_cell"]
+        index = ["sigma(5)", "sigma(20)", "sigma(5)_09", "sigma(20)_09"]
+        s5p, s20p = np.mean(self.arr_prec, axis=1)
+        s5r, s20r = np.mean(self.arr_recall, axis=1)
+        s5f, s20f = np.mean(self.arr_f1, axis=1)
+        row1, row2 = [s5p, s5r, s5f], [s20p, s20r, s20f]
+        s5p9, s20p9 = np.mean(self.arr_prec[:, :-1], axis=1)
+        s5r9, s20r9 = np.mean(self.arr_recall[:, :-1], axis=1)
+        s5f9, s20f9 = np.mean(self.arr_f1[:, :-1], axis=1)
+        row3, row4 = [s5p9, s5r9, s5f9], [s20p9, s20r9, s20f9]
+        pd.DataFrame([row1, row2, row3, row4], columns=columns,
+                     index=index).to_csv(
+            os.path.join(self.save_dir, "resultsMatching.csv"), index=True)
+
+        def mean(v):
+            return sum(v) / max(len(v), 1)
+
+        self.performace_results = {
+            "precsion": round(mean(self.precision), 4),
+            "recall": round(mean(self.recall), 4),
+            "f1": round(mean(self.f1), 4),
+            "MAE": round(mean(self.AbsDiff), 4),
+            "MRE": round(mean(self.RelativeAccuracy), 4),
+            "pearsonr": round(float(pearson), 4),
+            "GAME1": round(mean(self.G1metrics), 4),
+            "GAME2": round(mean(self.G2metrics), 4),
+            "GAME3": round(mean(self.G3metrics), 4),
+            "precsion sigma5": round(row1[0], 4),
+            "recall sigma5": round(row1[1], 4),
+            "f1 sigma5": round(row1[2], 4),
+            "precsion sigma5_9": round(row3[0], 4),
+            "recall sigma5_9": round(row3[1], 4),
+            "f1 sigma5_9": round(row3[2], 4),
+            "precsion sigma20": round(row2[0], 4),
+            "recall sigma20": round(row2[1], 4),
+            "f1 sigma20": round(row2[2], 4),
+        }
+        pd.DataFrame([self.performace_results]).to_csv(
+            os.path.join(self.save_dir, "resultsCount.csv"), index=True)
+
+        plt = _plt()
+        plt.scatter(self.GT, self.Pred, c="black")
+        plt.xlabel("golds")
+        plt.ylabel("predictions")
+        lim = int(max(max(self.GT, default=0),
+                      max(self.Pred, default=0))) + 100
+        plt.xlim(0, lim)
+        plt.ylim(0, lim)
+        plt.plot(range(lim))
+        plt.savefig(os.path.join(self.save_dir, "resultsData.png"))
+        plt.close("all")
+
+    def get_results(self):
+        return self.performace_results
+
+    getResults = get_results
+
+
+def test_single(trainer, input_size, ch, num_class, image_list, save_dir):
+    """Binary sigmoid-threshold eval (ref test.py:375-418): sigmoid -> 0.5
+    binarise -> zoom back -> ResultsCC vs *_label.png + *_gt_dot.png."""
+    import cv2
+
+    os.makedirs(save_dir, exist_ok=True)
+    res = ResultsCC(save_dir, True)
+    predict = make_predict_fn(trainer)
+    for img_path in image_list:
+        res.imageNames.append(os.path.basename(img_path))
+        img_org = _load_eval_image(img_path, ch)
+        h, w = img_org.shape[:2]
+        x = preprocess_eval(img_org, input_size).astype(np.float32)
+        out = np.asarray(predict(x))[0, ..., 0]
+        pred = (1 / (1 + np.exp(-out)) >= 0.5).astype(np.uint8)
+        if (h, w) != tuple(input_size):
+            pred = zoom_resize(pred, h, w, order=0).astype(np.uint8)
+        mask = cv2.imread(img_path[: img_path.rfind(".")] + "_label.png", 0)
+        gt_dot = cv2.imread(img_path.replace(".png", "_gt_dot.png"), 0)
+        res.compare_images(img_org, mask, pred, gt_dot)
+    res.save()
+    return res.get_results()
+
+
+def test_single_crop(trainer, input_size, ch, num_class, crop_size,
+                     image_list, save_dir):
+    """Tiled binary eval (ref test.py:420-455): centre-pad to a crop multiple,
+    predict per tile, stitch, ResultsCC."""
+    import cv2
+
+    os.makedirs(save_dir, exist_ok=True)
+    res = ResultsCC(save_dir, True)
+    predict = make_predict_fn(trainer)
+    for img_path in image_list:
+        res.imageNames.append(os.path.basename(img_path))
+        img_org = _load_eval_image(img_path, ch)
+        label = cv2.imread(img_path.replace(".png", "_label.png"), 0)
+        gt_dot = cv2.imread(img_path.replace(".png", "_gt_dot.png"), 0)
+
+        pad_h = (-img_org.shape[0]) % crop_size
+        pad_w = (-img_org.shape[1]) % crop_size
+        pt, pb = pad_h // 2, pad_h - pad_h // 2
+        pl, pr = pad_w // 2, pad_w - pad_w // 2
+        label = np.pad(label, ((pt, pb), (pl, pr)))
+        gt_dot = np.pad(gt_dot, ((pt, pb), (pl, pr)))
+        if img_org.ndim == 3:
+            img = np.pad(img_org, ((pt, pb), (pl, pr), (0, 0)),
+                         constant_values=255)
+        else:
+            img = np.pad(img_org, ((pt, pb), (pl, pr)), constant_values=255)
+        img = to_model_input(z_normalize(img.astype(np.float64)))
+
+        pred = np.zeros(label.shape, np.uint8)
+        for i in range(0, img.shape[0], crop_size):
+            for j in range(0, img.shape[1], crop_size):
+                tile = img[i:i + crop_size, j:j + crop_size][None]
+                out = np.asarray(predict(tile.astype(np.float32)))[0, ..., 0]
+                pred[i:i + crop_size, j:j + crop_size] = \
+                    (1 / (1 + np.exp(-out)) >= 0.5).astype(np.uint8)
+        res.compare_images(img_org, label, pred, gt_dot)
+    res.save()
+    return res.get_results()
+
+
+# ---------------------------------------------------------------------------
 # entry points (train.py:358-371 dispatch targets)
 # ---------------------------------------------------------------------------
 

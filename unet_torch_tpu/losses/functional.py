@@ -212,16 +212,18 @@ def euclidean_distance_transform_sq(mask):
     the conv stack).  Matches scipy.ndimage.distance_transform_edt² on the
     complement convention used in loss.py:163-166.
     """
+    from unet_torch_tpu.kernels.minplus import minplus
+
     h, w = mask.shape
     big = jnp.asarray(1e12, jnp.float32)
     # g[k, l] = 0 where mask is background (distance source), INF where foreground
     g = jnp.where(mask > 0, big, 0.0).astype(jnp.float32)
     ii = jnp.arange(h, dtype=jnp.float32)
     dk2 = (ii[:, None] - ii[None, :]) ** 2          # (i, k)
-    f = jnp.min(g[None, :, :] + dk2[:, :, None], axis=1)   # (i, l)
+    f = minplus(dk2, g)                              # (i, l)
     jj = jnp.arange(w, dtype=jnp.float32)
-    dl2 = (jj[:, None] - jj[None, :]) ** 2          # (j, l)
-    d2 = jnp.min(f[:, None, :] + dl2[None, :, :], axis=2)  # (i, j)
+    dl2 = (jj[:, None] - jj[None, :]) ** 2          # (l, j)
+    d2 = minplus(f, dl2)                             # (i, j)
     return jnp.minimum(d2, big)
 
 

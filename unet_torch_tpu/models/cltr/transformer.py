@@ -1,0 +1,256 @@
+"""Conditional-DETR transformer — Flax, batch-first (B, N, C).
+
+Capability parity with /root/reference/CLTR/transformer.py: 6-enc/6-dec
+conditional DETR where the decoder separates content and positional q/k
+projections, concatenates sine-embedded reference points per head (cross-attn
+runs at d_model*2), modulates via a query_scale MLP, and returns stacked
+intermediate decoder states + reference points (:122-179, :242-357).
+
+The reference's vendored MultiheadAttention (attention.py:166-373) strips the
+input projections and supports vdim != embed_dim; here that is `RawAttention`
+(pre-projected q/k/v, per-head scaled dot on the MXU, out proj at vdim).
+Token tensors are batch-first throughout — the torch code's (N, B, C) layout
+is a CPU-era convention; (B, N, C) keeps the matmuls contiguous for XLA.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from unet_torch_tpu.models.cltr.position_encoding import (
+    gen_sineembed_for_position,
+)
+
+xavier_uniform = nn.initializers.xavier_uniform()
+
+
+def _dense(features, name):
+    return nn.Dense(features, kernel_init=xavier_uniform, name=name)
+
+
+class MLP(nn.Module):
+    """ref transformer.py:21-33 — ReLU MLP."""
+
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+    last_zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            is_last = i == self.num_layers - 1
+            feats = self.output_dim if is_last else self.hidden_dim
+            init = (nn.initializers.zeros if (is_last and self.last_zero_init)
+                    else xavier_uniform)
+            bias_init = nn.initializers.zeros
+            x = nn.Dense(feats, kernel_init=init, bias_init=bias_init,
+                         name=f"layer{i}")(x)
+            if not is_last:
+                x = nn.relu(x)
+        return x
+
+
+def raw_attention(q, k, v, num_heads, key_padding_mask=None, dropout=None):
+    """Pre-projected multi-head attention (attention.py:265-267,342-366):
+    q,k (B,Nq/Nk,E); v (B,Nk,V); scale 1/sqrt(E/heads); returns (B,Nq,V).
+
+    Routed through the fused Pallas attention kernel when unmasked and
+    dropout-free; masked/dropout paths use the einsum fallback."""
+    from unet_torch_tpu.kernels.attention import fused_attention
+
+    b, nq, e = q.shape
+    nk = k.shape[1]
+    vd = v.shape[-1]
+    hd = e // num_heads
+    vhd = vd // num_heads
+    qh = q.reshape(b, nq, num_heads, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, nk, num_heads, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, nk, num_heads, vhd).transpose(0, 2, 1, 3)
+    if dropout is None:
+        out = fused_attention(qh, kh, vh, scale=hd ** -0.5,
+                              key_padding_mask=key_padding_mask)
+    else:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * (hd ** -0.5)
+        if key_padding_mask is not None:
+            scores = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf,
+                               scores)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = dropout(probs)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+    return out.transpose(0, 2, 1, 3).reshape(b, nq, vd)
+
+
+class RawAttention(nn.Module):
+    """Vendored-MHA equivalent: only the output projection is learned."""
+
+    embed_dim: int
+    num_heads: int
+    vdim: int
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, q, k, v, *, train: bool, key_padding_mask=None):
+        drop = nn.Dropout(self.dropout_rate, deterministic=not train)
+        out = raw_attention(q, k, v, self.num_heads, key_padding_mask,
+                            dropout=drop if self.dropout_rate else None)
+        return _dense(self.vdim, "out_proj")(out)
+
+
+class FullAttention(nn.Module):
+    """torch nn.MultiheadAttention equivalent (q/k/v + out projections) —
+    used by the encoder self-attention (ref :187)."""
+
+    embed_dim: int
+    num_heads: int
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, q, k, v, *, train: bool, key_padding_mask=None):
+        qp = _dense(self.embed_dim, "q_proj")(q)
+        kp = _dense(self.embed_dim, "k_proj")(k)
+        vp = _dense(self.embed_dim, "v_proj")(v)
+        drop = nn.Dropout(self.dropout_rate, deterministic=not train)
+        out = raw_attention(qp, kp, vp, self.num_heads, key_padding_mask,
+                            dropout=drop if self.dropout_rate else None)
+        return _dense(self.embed_dim, "out_proj")(out)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """ref :182-239 (post-norm path)."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 2048
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, src, pos, *, train: bool, key_padding_mask=None):
+        drop = lambda name: nn.Dropout(self.dropout_rate,
+                                       deterministic=not train)
+        q = k = src + pos
+        src2 = FullAttention(self.d_model, self.nhead, self.dropout_rate,
+                             name="self_attn")(
+            q, k, src, train=train, key_padding_mask=key_padding_mask)
+        src = nn.LayerNorm(name="norm1")(src + drop("d1")(src2))
+        src2 = _dense(self.dim_feedforward, "linear1")(src)
+        src2 = drop("d")(nn.relu(src2))
+        src2 = _dense(self.d_model, "linear2")(src2)
+        return nn.LayerNorm(name="norm2")(src + drop("d2")(src2))
+
+
+class TransformerDecoderLayer(nn.Module):
+    """ref :242-357 — separated content/positional projections; cross-attn at
+    d_model*2 via per-head concat of content and sine-position halves."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 2048
+    dropout_rate: float = 0.1
+    has_ca_qpos_proj: bool = True  # only the first layer keeps it (ref :132-133)
+
+    @nn.compact
+    def __call__(self, tgt, memory, pos, query_pos, query_sine_embed,
+                 is_first: bool, *, train: bool, key_padding_mask=None):
+        d = self.d_model
+        drop = lambda: nn.Dropout(self.dropout_rate, deterministic=not train)
+
+        # ---- self-attention (ref :294-314)
+        q = _dense(d, "sa_qcontent_proj")(tgt) + _dense(d, "sa_qpos_proj")(
+            query_pos)
+        k = _dense(d, "sa_kcontent_proj")(tgt) + _dense(d, "sa_kpos_proj")(
+            query_pos)
+        v = _dense(d, "sa_v_proj")(tgt)
+        tgt2 = RawAttention(d, self.nhead, d, self.dropout_rate,
+                            name="self_attn")(q, k, v, train=train)
+        tgt = nn.LayerNorm(name="norm1")(tgt + drop()(tgt2))
+
+        # ---- cross-attention (ref :316-349)
+        q_content = _dense(d, "ca_qcontent_proj")(tgt)
+        k_content = _dense(d, "ca_kcontent_proj")(memory)
+        v = _dense(d, "ca_v_proj")(memory)
+        k_pos = _dense(d, "ca_kpos_proj")(pos)
+        if is_first and self.has_ca_qpos_proj:
+            q = q_content + _dense(d, "ca_qpos_proj")(query_pos)
+            k = k_content + k_pos
+        else:
+            q = q_content
+            k = k_content
+
+        b, nq, _ = q.shape
+        hw = k.shape[1]
+        hd = d // self.nhead
+        qse = _dense(d, "ca_qpos_sine_proj")(query_sine_embed)
+        q = jnp.concatenate([q.reshape(b, nq, self.nhead, hd),
+                             qse.reshape(b, nq, self.nhead, hd)],
+                            axis=3).reshape(b, nq, d * 2)
+        k = jnp.concatenate([k.reshape(b, hw, self.nhead, hd),
+                             k_pos.reshape(b, hw, self.nhead, hd)],
+                            axis=3).reshape(b, hw, d * 2)
+        tgt2 = RawAttention(d * 2, self.nhead, d, self.dropout_rate,
+                            name="cross_attn")(
+            q, k, v, train=train, key_padding_mask=key_padding_mask)
+        tgt = nn.LayerNorm(name="norm2")(tgt + drop()(tgt2))
+
+        # ---- FFN (ref :354-357)
+        tgt2 = _dense(self.dim_feedforward, "linear1")(tgt)
+        tgt2 = drop()(nn.relu(tgt2))
+        tgt2 = _dense(self.d_model, "linear2")(tgt2)
+        return nn.LayerNorm(name="norm3")(tgt + drop()(tgt2))
+
+
+class Transformer(nn.Module):
+    """ref :52-95 — returns (hs (L,B,Q,D), reference_points (B,Q,2))."""
+
+    d_model: int = 256
+    nhead: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    dim_feedforward: int = 2048
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, src, mask, query_embed, pos_embed, *, train: bool):
+        b, h, w, c = src.shape
+        src = src.reshape(b, h * w, c)
+        pos = pos_embed.reshape(b, h * w, -1)
+        mask_flat = mask.reshape(b, h * w) if mask is not None else None
+        query_pos = jnp.broadcast_to(query_embed[None],
+                                     (b, *query_embed.shape))
+
+        memory = src
+        for i in range(self.num_encoder_layers):
+            memory = TransformerEncoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward,
+                self.dropout_rate, name=f"encoder_layer{i}")(
+                memory, pos, train=train, key_padding_mask=mask_flat)
+
+        # decoder (ref :122-179)
+        ref_before_sigmoid = MLP(self.d_model, 2, 2, name="ref_point_head")(
+            query_pos)
+        reference_points = jax.nn.sigmoid(ref_before_sigmoid)  # (B, Q, 2)
+        query_scale = MLP(self.d_model, self.d_model, 2, name="query_scale")
+
+        output = jnp.zeros_like(query_pos)
+        intermediate = []
+        norm = nn.LayerNorm(name="decoder_norm")
+        for i in range(self.num_decoder_layers):
+            pos_transformation = 1.0 if i == 0 else query_scale(output)
+            query_sine_embed = gen_sineembed_for_position(
+                reference_points, self.d_model) * pos_transformation
+            output = TransformerDecoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward,
+                self.dropout_rate, has_ca_qpos_proj=(i == 0),
+                name=f"decoder_layer{i}")(
+                output, memory, pos, query_pos, query_sine_embed,
+                is_first=(i == 0), train=train,
+                key_padding_mask=mask_flat)
+            intermediate.append(norm(output))
+
+        hs = jnp.stack(intermediate)  # (L, B, Q, D)
+        return hs, reference_points

@@ -1,0 +1,54 @@
+"""CLTR jit'd step functions — two-phase around the host Hungarian matcher.
+
+The reference computes the assignment with scipy on CPU mid-step
+(CLTR/matcher.py:77-80), forcing a device->host sync every iteration.  The TPU
+build makes that boundary explicit: phase 1 produces all per-level cost
+matrices in one fused program, scipy solves the (tiny) LSAPs on host, phase 2
+recomputes the forward under grad with the static-shaped match indices and
+applies the update.  Both phases share the same dropout rng so the matching
+corresponds to the differentiated forward.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import optax
+
+
+def make_cltr_steps(model, criterion, tx):
+    def forward(params, batch_stats, x, train, rng):
+        return model.apply({"params": params, "batch_stats": batch_stats}, x,
+                           train=train,
+                           rngs={"dropout": rng} if train else None)
+
+    @jax.jit
+    def cost_step(state, x, tgt_labels, tgt_points, tgt_valid, rng):
+        out = forward(state.params, state.batch_stats, x, True, rng)
+        return criterion.all_cost_matrices(out, tgt_labels, tgt_points,
+                                           tgt_valid)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def update_step(state, x, tgt_labels, tgt_points, tgt_valid, match_src,
+                    lr, rng):
+        def objective(params):
+            out = forward(params, state.batch_stats, x, True, rng)
+            total, loss_dict = criterion.losses(out, tgt_labels, tgt_points,
+                                                tgt_valid, match_src)
+            return total, loss_dict
+
+        (loss, loss_dict), grads = jax.value_and_grad(
+            objective, has_aux=True)(state.params)
+        state.opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (state.replace(params=params, opt_state=opt_state,
+                              step=state.step + 1), loss, loss_dict)
+
+    @jax.jit
+    def infer_step(state, x):
+        out = forward(state.params, state.batch_stats, x, False, None)
+        return out["pred_logits"], out["pred_points"]
+
+    return cost_step, update_step, infer_step
