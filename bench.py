@@ -84,7 +84,9 @@ def measure_tpu() -> float:
     from unet_torch_tpu.train.state import TrainState
     from unet_torch_tpu.train.steps import make_single_steps
 
-    model = UNet(n_channels=CHANNELS, n_classes=N_CLASSES, base=64)
+    # bf16 compute / f32 params+stats: the MXU-native mixed-precision policy
+    model = UNet(n_channels=CHANNELS, n_classes=N_CLASSES, base=64,
+                 dtype=jnp.bfloat16)
     tx = make_optimizer("Adam", 1e-3, 0.0)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(BATCH, SIZE, SIZE, CHANNELS), jnp.float32)
@@ -116,7 +118,7 @@ def main():
     baseline = get_baseline()
     tpu_ips = measure_tpu()
     print(json.dumps({
-        "metric": f"unet64_{SIZE}px_train_images_per_sec_per_chip",
+        "metric": f"unet64_{SIZE}px_bf16_train_images_per_sec_per_chip",
         "value": round(tpu_ips, 3),
         "unit": "images/sec",
         "vs_baseline": round(tpu_ips / baseline, 3),

@@ -91,12 +91,15 @@ def build_datasets_and_model(cfg: Config, seed: int):
     else:
         raise ValueError(f'Invalid model_type "{mt}"')
 
+    from unet_torch_tpu.core.precision import resolve_precision
+
+    dtype = resolve_precision(cfg.train.precision).compute_dtype
     if mt in ("TransUnet", "regression_t", "multi_task_regTU"):
         from unet_torch_tpu.models.transunet import build_transunet
 
         model = build_transunet(
             mt, img_size=input_size[0], n_channels=m.channel,
-            num_classes=m.num_class)
+            num_classes=m.num_class, dtype=dtype)
     elif mt == "CLTR":
         # the reference reads CLTR/CLTRconfig.yml (train.py:274-275); we allow
         # the same flat args inline under a `cltr_config` key
@@ -108,7 +111,7 @@ def build_datasets_and_model(cfg: Config, seed: int):
     else:
         model = build_model(mt, n_channels=m.channel, n_classes=m.num_class,
                             base=m.initial_filter_size, dropout=m.dropout,
-                            dropout_p=m.drop_out_rate)
+                            dropout_p=m.drop_out_rate, dtype=dtype)
     return train_ds, val_ds, model
 
 

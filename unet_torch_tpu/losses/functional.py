@@ -95,7 +95,7 @@ def focal_loss(pred, target, alpha: float = 0.25, gamma: float = 2.0):
 # ---------------------------------------------------------------------------
 
 def mse_loss(pred, target):
-    return jnp.mean((_squeeze_last(pred) - target) ** 2)
+    return jnp.mean((_squeeze_last(pred) - _squeeze_last(target)) ** 2)
 
 
 def mse_mc_loss(pred, target):
