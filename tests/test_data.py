@@ -1,0 +1,134 @@
+"""Data pipeline units: stain transforms, peak detection, augmentation,
+discovery, loaders, datasets."""
+
+import os
+
+import numpy as np
+import pytest
+
+from unet_torch_tpu.data.io import (
+    get_image_list,
+    natural_sort,
+    z_normalize,
+    zoom_resize,
+)
+from unet_torch_tpu.data.stain import MacenkoNormalizer, rgb2hed
+from unet_torch_tpu.data.synthetic import write_synthetic_dataset
+from unet_torch_tpu.eval.peaks import peak_local_max
+
+
+def test_natural_sort():
+    assert natural_sort(["img10.png", "img2.png", "img1.png"]) == \
+        ["img1.png", "img2.png", "img10.png"]
+
+
+def test_get_image_list_excludes_labels(tmp_path):
+    write_synthetic_dataset(str(tmp_path), n_images=2, size=16)
+    files = get_image_list(str(tmp_path))
+    assert len(files) == 2
+    assert all("_label" not in f and "_gt_dot" not in f for f in files)
+
+
+def test_z_normalize_per_channel():
+    rng = np.random.RandomState(0)
+    img = rng.rand(16, 16, 3) * 255
+    z = z_normalize(img)
+    np.testing.assert_allclose(z.mean(axis=(0, 1)), 0, atol=1e-9)
+    np.testing.assert_allclose(z.std(axis=(0, 1)), 1, atol=1e-9)
+
+
+def test_zoom_resize_orders():
+    img = np.arange(64, dtype=np.float64).reshape(8, 8)
+    up = zoom_resize(img, 16, 16, order=3)
+    assert up.shape == (16, 16)
+    lbl = zoom_resize(img.astype(np.int32), 16, 16, order=0)
+    assert set(np.unique(lbl)) <= set(np.unique(img))  # nearest keeps values
+
+
+def test_rgb2hed_separates_hematoxylin():
+    # pure hematoxylin-coloured pixels have high H channel, low E
+    h_rgb = np.full((4, 4, 3), (106, 80, 180), np.uint8)  # bluish-purple
+    e_rgb = np.full((4, 4, 3), (230, 120, 160), np.uint8)  # pink
+    hed_h = rgb2hed(h_rgb)
+    hed_e = rgb2hed(e_rgb)
+    assert hed_h[..., 0].mean() > hed_e[..., 0].mean()
+
+
+def test_macenko_normalizer_identity_like():
+    rng = np.random.RandomState(0)
+    # synthetic two-stain image
+    yy, xx = np.mgrid[:64, :64]
+    h_conc = (np.sin(yy / 9.0) + 1) * 0.6
+    e_conc = (np.cos(xx / 7.0) + 1) * 0.4
+    stains = np.array([[0.65, 0.70, 0.29], [0.07, 0.99, 0.11]])
+    od = np.stack([h_conc, e_conc], -1).reshape(-1, 2) @ stains
+    img = np.clip(255 * np.exp(-od), 0, 255).reshape(64, 64, 3).astype(
+        np.uint8)
+    norm = MacenkoNormalizer().fit(img)
+    out = norm.transform(img)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # normalising an image to its own stain basis should roughly preserve it
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 25
+
+
+def test_peak_local_max_finds_peaks():
+    img = np.zeros((32, 32))
+    img[8, 8] = 1.0
+    img[20, 25] = 0.8
+    img[9, 9] = 0.5  # within min_distance of the first peak -> suppressed
+    coords = peak_local_max(img, min_distance=3)
+    assert len(coords) == 2
+    assert [8, 8] in coords.tolist() and [20, 25] in coords.tolist()
+
+
+def test_basic_geometric_keeps_alignment():
+    from unet_torch_tpu.data.augment import basic_geometric
+
+    rng = np.random.RandomState(1)
+    img = np.zeros((16, 16), np.float32)
+    img[4, 7] = 1
+    mask = np.zeros((16, 16), np.float32)
+    mask[4, 7] = 1
+    for _ in range(10):
+        a, b = basic_geometric([img, mask], rng)
+        # geometric transforms apply identically to both
+        np.testing.assert_array_equal(a > 0.5, b > 0.5)
+
+
+def test_pathology_augment_hm_joint():
+    from unet_torch_tpu.data.augment import pathology_augment_hm
+
+    rng = np.random.RandomState(2)
+    img = np.full((64, 64, 3), 200, np.uint8)
+    hm1 = np.zeros((64, 64), np.float32)
+    hm1[30, 30] = 1
+    hm2 = hm1.copy()
+    out_img, (o1, o2) = pathology_augment_hm(img, [hm1, hm2], rng)
+    assert out_img.shape[2] == 3
+    np.testing.assert_array_equal(o1, o2)  # heatmaps transformed identically
+
+
+def test_data_reg_mt_contract(tmp_path):
+    from unet_torch_tpu.data.datasets import DataRegMT
+
+    write_synthetic_dataset(str(tmp_path), n_images=2, size=32)
+    ds = DataRegMT([str(tmp_path)], ch=3, augmentation=False,
+                   input_size=(32, 32))
+    img, (immune, other) = ds[0]
+    assert img.shape == (32, 32, 3)
+    assert immune.shape == (32, 32) and other.shape == (32, 32)
+
+
+def test_data_random_crop_tiling(tmp_path):
+    from unet_torch_tpu.data.datasets import DataRandomCrop
+
+    write_synthetic_dataset(str(tmp_path), n_images=1, size=48)
+    ds = DataRandomCrop([str(tmp_path)], ch=3, augmentation=False,
+                        train=False, crop_size=16)
+    tiles, labels, dots = ds[0]
+    assert tiles.shape == (9, 16, 16, 3)  # 48/16 = 3x3 tiles
+    assert labels.shape == (9, 16, 16)
+    ds_train = DataRandomCrop([str(tmp_path)], ch=3, augmentation=True,
+                              train=True, crop_size=16)
+    img, lbl, dot = ds_train[0]
+    assert img.shape == (16, 16, 3)

@@ -56,10 +56,15 @@ def build_datasets_and_model(cfg: Config, seed: int):
 
     if mt in ("single", "attention", "TransUnet") and not (
             mt == "TransUnet" and d.random_crop):
+        from unet_torch_tpu.train.trainer import TOPO_LOSS_NAMES
+
+        needs_dot = cfg.train.loss in TOPO_LOSS_NAMES
         train_ds = DataBinary(list(d.train_path), augmentation=d.augmentation,
-                              input_size=input_size, **common)
+                              input_size=input_size,
+                              return_gt_dot=needs_dot, **common)
         val_ds = DataBinary(list(d.val_path), augmentation=False,
-                            input_size=input_size, **common)
+                            input_size=input_size,
+                            return_gt_dot=needs_dot, **common)
     elif mt == "TransUnet" and d.random_crop:
         train_ds = DataRandomCrop(list(d.train_path),
                                   augmentation=d.augmentation, train=True,

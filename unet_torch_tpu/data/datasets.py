@@ -67,7 +67,15 @@ class _Base:
 
 
 class DataBinary(_Base):
-    """Binary/multi-class masks + dot maps (ref Data_Binary :617-731)."""
+    """Binary/multi-class masks + dot maps (ref Data_Binary :617-731).
+
+    The reference computes the dot map but drops it (:679,:709);
+    ``return_gt_dot=True`` yields the (image, label, gt_dot) triple that the
+    topo warm-up trainer consumes (Trainer.py:325)."""
+
+    def __init__(self, *args, return_gt_dot: bool = False, **kw):
+        super().__init__(*args, **kw)
+        self.return_gt_dot = return_gt_dot
 
     def __getitem__(self, idx):
         img_path = self.image_list[idx]
@@ -81,6 +89,10 @@ class DataBinary(_Base):
                                                    self.rng)
         image = zoom_resize(image, self.height, self.width, order=3)
         label = zoom_resize(label, self.height, self.width, order=0)
+        if self.return_gt_dot:
+            gt_dot = zoom_resize(gt_dot, self.height, self.width, order=0)
+            return (self._finalize_image(image), np.asarray(label, np.int32),
+                    np.asarray(gt_dot, np.float32))
         return (self._finalize_image(image),
                 np.asarray(label, np.int32))
 

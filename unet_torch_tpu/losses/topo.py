@@ -107,8 +107,13 @@ def _count_components_np(mask: np.ndarray) -> int:
     return int(n - 1)
 
 
-def _pairing_host(likelihood: np.ndarray, target: np.ndarray, max_bars: int):
-    """Host callback over a batch: (B,H,W)x2 -> padded bar indices + counts."""
+def _pairing_host(likelihood: np.ndarray, target: np.ndarray, max_bars: int,
+                  kgt_override: np.ndarray | None = None):
+    """Host pairing over a batch: (B,H,W)x2 -> padded bar indices + counts.
+
+    ``kgt_override`` supplies the true-component count directly (e.g. the dot
+    map sum in the warm-up trainer, where the loss target is [labels, gt_dot]
+    — Trainer.py:344-346); otherwise it is the target mask's CC count."""
     try:
         from unet_torch_tpu.native import ph0 as _native
     except Exception:  # pragma: no cover - native build unavailable
@@ -125,7 +130,10 @@ def _pairing_host(likelihood: np.ndarray, target: np.ndarray, max_bars: int):
         else:
             b, d, n = _superlevel_ph0_np(likelihood[i], max_bars)
         births[i], deaths[i], nbars[i] = b, d, n
-        kgt[i] = _count_components_np(target[i] > 0.5)
+        if kgt_override is not None:
+            kgt[i] = int(kgt_override[i])
+        else:
+            kgt[i] = _count_components_np(target[i] > 0.5)
     return births, deaths, nbars, kgt
 
 
@@ -141,10 +149,41 @@ def persistence_diagram(likelihood, max_bars: int = 64):
     return b, d, n
 
 
+def topo_loss_from_pairing(logits, births, deaths, nbars, kgt,
+                           max_bars: int = 64):
+    """The differentiable half of the topo loss: given pairing indices
+    (computed on host), gather the critical-pixel likelihoods and penalise.
+    Pure jnp — safe inside any jit on any backend."""
+    logits = logits[..., 0] if logits.ndim == 4 else logits
+    lik = jax.nn.sigmoid(logits)
+    bsz = lik.shape[0]
+    flat = lik.reshape(bsz, -1)
+    bvals = jnp.take_along_axis(flat, births.astype(jnp.int32), axis=1)
+    dvals = jnp.take_along_axis(flat, deaths.astype(jnp.int32), axis=1)
+    idx = jnp.arange(max_bars)[None, :]
+    valid = idx < nbars[:, None]
+    matched = valid & (idx < kgt[:, None])
+    unmatched = valid & ~matched
+    loss = jnp.sum(jnp.where(matched, (bvals - 1.0) ** 2 + dvals**2, 0.0)) + \
+        jnp.sum(jnp.where(unmatched, (bvals - dvals) ** 2, 0.0))
+    return loss / bsz
+
+
+def compute_pairing(likelihood: np.ndarray, target: np.ndarray,
+                    max_bars: int = 64, kgt_override=None):
+    """Host-side pairing on concrete arrays (the split-step path for backends
+    without host callbacks, e.g. the axon TPU runtime)."""
+    return _pairing_host(np.asarray(likelihood), np.asarray(target), max_bars,
+                         kgt_override)
+
+
 def topo_loss(pred, target, max_bars: int = 64):
     """Topological loss on (B,H,W,1)/(B,H,W) logits vs binary (B,H,W) target.
 
     Differentiable through the likelihood values at the critical pixels.
+    This single-call form routes the PH pairing through jax.pure_callback —
+    use `compute_pairing` + `topo_loss_from_pairing` (two-phase, as in
+    train.steps.make_topo_steps' TPU path) on backends without host callbacks.
     """
     logits = pred[..., 0] if pred.ndim == 4 else pred
     lik = jax.nn.sigmoid(logits)
@@ -159,14 +198,4 @@ def topo_loss(pred, target, max_bars: int = 64):
          jax.ShapeDtypeStruct((bsz,), jnp.int32)),
         jax.lax.stop_gradient(lik), t,
     )
-
-    flat = lik.reshape(bsz, -1)
-    bvals = jnp.take_along_axis(flat, births.astype(jnp.int32), axis=1)
-    dvals = jnp.take_along_axis(flat, deaths.astype(jnp.int32), axis=1)
-    idx = jnp.arange(max_bars)[None, :]
-    valid = idx < nbars[:, None]
-    matched = valid & (idx < kgt[:, None])
-    unmatched = valid & ~matched
-    loss = jnp.sum(jnp.where(matched, (bvals - 1.0) ** 2 + dvals**2, 0.0)) + \
-        jnp.sum(jnp.where(unmatched, (bvals - dvals) ** 2, 0.0))
-    return loss / bsz
+    return topo_loss_from_pairing(pred, births, deaths, nbars, kgt, max_bars)

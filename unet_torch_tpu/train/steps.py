@@ -153,7 +153,20 @@ def make_multitask_steps(model, tx, loss_type: str, num_classes: int,
 def make_topo_steps(model, tx, loss_type: str, num_classes: int,
                     relu_output: bool = False, max_bars: int = 64):
     """Steps for `singe_train_wup` (Trainer.py:291-479): epochs <=5 train with
-    dice_bce, afterwards with the topological loss against [labels, gt_dot]."""
+    dice_bce, afterwards with the topological loss against [labels, gt_dot]
+    (the dot-map sum supplies the true component count k_gt).
+
+    The topo step is two-phase (forward -> host PH pairing -> loss/grad jit):
+    the pairing union-find is inherently sequential and the axon TPU backend
+    has no host callbacks, so the boundary is explicit — same pattern as the
+    CLTR Hungarian matcher.
+    """
+    import numpy as np
+
+    from unet_torch_tpu.losses.topo import (
+        compute_pairing,
+        topo_loss_from_pairing,
+    )
 
     def forward(params, batch_stats, x, train, rng=None):
         out, bs = _apply(model, params, batch_stats, x, train=train, rng=rng)
@@ -161,30 +174,72 @@ def make_topo_steps(model, tx, loss_type: str, num_classes: int,
             out = jax.nn.relu(out)
         return out, bs
 
-    def _make(loss_fn):
-        @functools.partial(jax.jit, donate_argnums=0)
-        def step(state, x, y, gt_dot, lr, rng):
-            def objective(params):
-                out, bs = forward(params, state.batch_stats, x, True, rng)
-                return loss_fn(out, y, gt_dot), bs
+    # ---- warm-up phase: plain dice_bce step
+    @functools.partial(jax.jit, donate_argnums=0)
+    def warm_step(state, x, y, gt_dot, lr, rng):
+        def objective(params):
+            out, bs = forward(params, state.batch_stats, x, True, rng)
+            return calc_loss(out, y, loss_type="dice_bce",
+                             num_classes=num_classes), bs
 
-            (loss, bs), grads = jax.value_and_grad(objective, has_aux=True)(
-                state.params)
-            opt_state = _set_lr(state.opt_state, lr)
-            updates, opt_state = tx.update(grads, opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            return state.replace(params=params, batch_stats=bs,
-                                 opt_state=opt_state,
-                                 step=state.step + 1), loss
+        (loss, bs), grads = jax.value_and_grad(objective, has_aux=True)(
+            state.params)
+        opt_state = _set_lr(state.opt_state, lr)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, batch_stats=bs,
+                             opt_state=opt_state, step=state.step + 1), loss
 
-        @jax.jit
-        def eval_step(state, x, y, gt_dot):
-            out, _ = forward(state.params, state.batch_stats, x, False)
-            return loss_fn(out, y, gt_dot), out
+    @jax.jit
+    def warm_eval(state, x, y, gt_dot):
+        out, _ = forward(state.params, state.batch_stats, x, False)
+        return calc_loss(out, y, loss_type="dice_bce",
+                         num_classes=num_classes), out
 
-        return step, eval_step
+    # ---- topo phase
+    @jax.jit
+    def _fwd_only(state, x, rng):
+        # same train-mode forward (and rng) as the grad phase, so the pairing
+        # matches the differentiated likelihood; stat mutations are discarded
+        out, _ = forward(state.params, state.batch_stats, x, True, rng)
+        return out
 
-    warm = _make(lambda out, y, dot: calc_loss(out, y, loss_type="dice_bce",
-                                               num_classes=num_classes))
-    topo = _make(lambda out, y, dot: topo_loss(out, y, max_bars=max_bars))
-    return warm, topo
+    @functools.partial(jax.jit, donate_argnums=0)
+    def _topo_update(state, x, births, deaths, nbars, kgt, lr, rng):
+        def objective(params):
+            out, bs = forward(params, state.batch_stats, x, True, rng)
+            return topo_loss_from_pairing(out, births, deaths, nbars, kgt,
+                                          max_bars), bs
+
+        (loss, bs), grads = jax.value_and_grad(objective, has_aux=True)(
+            state.params)
+        opt_state = _set_lr(state.opt_state, lr)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, batch_stats=bs,
+                             opt_state=opt_state, step=state.step + 1), loss
+
+    def _pairing(out, y, gt_dot):
+        logits = np.asarray(out)
+        logits = logits[..., 0] if logits.ndim == 4 else logits
+        lik = 1.0 / (1.0 + np.exp(-logits))
+        kgt = np.asarray(jnp.sum(gt_dot, axis=(1, 2))).astype(np.int64)
+        return compute_pairing(lik, np.asarray(y), max_bars,
+                               kgt_override=kgt)
+
+    def topo_step(state, x, y, gt_dot, lr, rng):
+        out = _fwd_only(state, x, rng)
+        births, deaths, nbars, kgt = _pairing(out, y, gt_dot)
+        return _topo_update(state, x, jnp.asarray(births),
+                            jnp.asarray(deaths), jnp.asarray(nbars),
+                            jnp.asarray(kgt), lr, rng)
+
+    def topo_eval(state, x, y, gt_dot):
+        out = _fwd_only(state, x, jax.random.key(0))
+        births, deaths, nbars, kgt = _pairing(out, y, gt_dot)
+        loss = topo_loss_from_pairing(jnp.asarray(out), jnp.asarray(births),
+                                      jnp.asarray(deaths), jnp.asarray(nbars),
+                                      jnp.asarray(kgt), max_bars)
+        return loss, out
+
+    return (warm_step, warm_eval), (topo_step, topo_eval)
