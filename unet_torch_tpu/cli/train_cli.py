@@ -105,6 +105,14 @@ def build_datasets_and_model(cfg: Config, seed: int):
         model = build_transunet(
             mt, img_size=input_size[0], n_channels=m.channel,
             num_classes=m.num_class, dtype=dtype)
+        # reference loads R50+ViT-B_16.npz pretrained weights when present
+        # (train.py:219,238,265); same contract, JAX-native layout
+        npz_path = cfg.raw.get("model_config", {}).get(
+            "pretrained_npz", "TransUnet/R50+ViT-B_16.npz")
+        if os.path.exists(npz_path):
+            build_datasets_and_model.pretrained_npz = npz_path
+        else:
+            build_datasets_and_model.pretrained_npz = None
     elif mt == "CLTR":
         # the reference reads CLTR/CLTRconfig.yml (train.py:274-275); we allow
         # the same flat args inline under a `cltr_config` key
@@ -172,6 +180,10 @@ def run_training(cfg: Config):
         if cfg.model.model_type == "CLTR":
             trainer.criterion = getattr(build_datasets_and_model,
                                         "last_cltr_criterion", None)
+        npz_path = getattr(build_datasets_and_model, "pretrained_npz", None)
+        if npz_path and cfg.model.model_type in ("TransUnet", "regression_t",
+                                                 "multi_task_regTU"):
+            _install_npz_loader(trainer, model, npz_path)
         if cfg.resume.flag:
             _resume(trainer, cfg)
         trainer.train()
@@ -189,6 +201,29 @@ def run_training(cfg: Config):
         df = pd.DataFrame(results).transpose().sort_index()
         df.to_csv(os.path.join(save_dir, "results.csv"))
     return trainers, results
+
+
+def _install_npz_loader(trainer, model, npz_path):
+    """Wrap lazy state init to copy pretrained ViT weights in
+    (train.py:219,238,265 `.load_from(np.load(...))` contract)."""
+    from unet_torch_tpu.models.transunet import load_npz_into_params
+
+    original_init = trainer._init_state
+
+    def init_and_load(tx, sample_x, extra_params=None):
+        state = original_init(tx, sample_x, extra_params)
+        weights = dict(np.load(npz_path))
+        params = load_npz_into_params(state.params, weights, model.config)
+        import jax
+
+        params = jax.tree_util.tree_map(
+            lambda a, b: np.asarray(b, a.dtype).reshape(a.shape)
+            if np.shape(b) != np.shape(a) else np.asarray(b, a.dtype),
+            state.params, params)
+        print(f"loaded pretrained weights from {npz_path}")
+        return state.replace(params=params)
+
+    trainer._init_state = init_and_load
 
 
 def _resume(trainer, cfg: Config):

@@ -27,6 +27,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def dice_loss(inputs, targets, num_points):
+    """DETR-style mask dice loss (ref segmentation.py:179-194) — the only
+    other live function of the dormant panoptic machinery."""
+    inputs = jax.nn.sigmoid(inputs)
+    inputs = inputs.reshape(inputs.shape[0], -1)
+    targets = targets.reshape(targets.shape[0], -1)
+    numerator = 2 * (inputs * targets).sum(1)
+    denominator = inputs.sum(-1) + targets.sum(-1)
+    loss = 1 - (numerator + 1) / (denominator + 1)
+    return loss.sum() / num_points
+
+
 def sigmoid_focal_loss(inputs, targets, num_points, alpha=0.25, gamma=2.0):
     """DETR-style focal loss (ref segmentation.py:197-222)."""
     prob = jax.nn.sigmoid(inputs)

@@ -65,6 +65,11 @@ def cltr_train_loop(trainer):
     trainer._lr = trainer.base_lr
     cost_step, update_step, infer_step = make_cltr_steps(
         trainer.model, criterion, tx)
+    use_fused = getattr(trainer, "cltr_fused_matcher", True)
+    if use_fused:
+        from unet_torch_tpu.train.cltr_steps import make_cltr_fused_step
+
+        fused_step = make_cltr_fused_step(trainer.model, criterion, tx)
     channel_point = trainer.model.channel_point
 
     for epoch in range(trainer.start_epoch, trainer.num_epochs + 1):
@@ -86,14 +91,21 @@ def cltr_train_loop(trainer):
             labels, points, mpoints, valid = pad_targets(
                 targets, max_pts, channel_point)
             rng = trainer.rng.next()
-            costs = cost_step(trainer.state, x, jnp.asarray(labels),
-                              jnp.asarray(points), jnp.asarray(valid), rng)
-            n_targets = valid.sum(axis=1)
-            match_src = criterion.hungarian(np.asarray(costs), n_targets)
-            trainer.state, loss, _ = update_step(
-                trainer.state, x, jnp.asarray(labels), jnp.asarray(points),
-                jnp.asarray(valid), jnp.asarray(match_src),
-                trainer._current_lr(), rng)
+            if use_fused:
+                trainer.state, loss, _ = fused_step(
+                    trainer.state, x, jnp.asarray(labels),
+                    jnp.asarray(points), jnp.asarray(valid),
+                    trainer._current_lr(), rng)
+            else:
+                costs = cost_step(trainer.state, x, jnp.asarray(labels),
+                                  jnp.asarray(points), jnp.asarray(valid),
+                                  rng)
+                n_targets = valid.sum(axis=1)
+                match_src = criterion.hungarian(np.asarray(costs), n_targets)
+                trainer.state, loss, _ = update_step(
+                    trainer.state, x, jnp.asarray(labels),
+                    jnp.asarray(points), jnp.asarray(valid),
+                    jnp.asarray(match_src), trainer._current_lr(), rng)
             trainer.iter_num += 1
             losses.append(loss)
         epoch_loss = float(np.mean([np.asarray(l) for l in losses])) if \

@@ -52,3 +52,46 @@ def make_cltr_steps(model, criterion, tx):
         return out["pred_logits"], out["pred_points"]
 
     return cost_step, update_step, infer_step
+
+
+def make_cltr_fused_step(model, criterion, tx):
+    """Single-jit CLTR train step: the Hungarian assignment runs *on device*
+    via the auction LSAP solver (kernels/auction.py), so forward, matching,
+    loss, backward and update fuse into one XLA program — no host round-trip
+    and no duplicated forward (the two-phase path recomputes it).
+
+    The reference stalls on scipy every step (CLTR/matcher.py:77-80); this is
+    the TPU-native replacement.
+    """
+    import optax as _optax
+
+    from unet_torch_tpu.kernels.auction import auction_lsap_batched
+
+    def forward(params, batch_stats, x, rng):
+        return model.apply({"params": params, "batch_stats": batch_stats}, x,
+                           train=True, rngs={"dropout": rng})
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def fused_step(state, x, tgt_labels, tgt_points, tgt_valid, lr, rng):
+        def objective(params):
+            out = forward(params, state.batch_stats, x, rng)
+            costs = jax.lax.stop_gradient(
+                criterion.all_cost_matrices(out, tgt_labels, tgt_points,
+                                            tgt_valid))  # (L, B, Q, T)
+            L = costs.shape[0]
+            valid_lbt = jax.numpy.broadcast_to(tgt_valid[None],
+                                               (L,) + tgt_valid.shape)
+            match_src = auction_lsap_batched(costs, valid_lbt)
+            total, loss_dict = criterion.losses(out, tgt_labels, tgt_points,
+                                                tgt_valid, match_src)
+            return total, loss_dict
+
+        (loss, loss_dict), grads = jax.value_and_grad(
+            objective, has_aux=True)(state.params)
+        state.opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = _optax.apply_updates(state.params, updates)
+        return (state.replace(params=params, opt_state=opt_state,
+                              step=state.step + 1), loss, loss_dict)
+
+    return fused_step
