@@ -249,12 +249,15 @@ def _post_train_test(trainer, cfg: Config, test_image_list, out_dir):
     input_size = tuple(cfg.model.input_size)
     args = (trainer, input_size, cfg.model.channel, cfg.model.num_class,
             test_image_list, out_dir)
+    tsv_files = get_points_from_tsv(cfg.dataset.dot_annotation_path)
     if mt in ("attention", "single", "TransUnet"):
         return reports.test_single_mc(*args)
     if mt in ("multi_task_regTU", "multi_task_reg"):
-        return reports.test_multiple_reg(*args)
+        # the reference calls test_single_reg with 7 of its 8 args
+        # (train.py:368 latent bug); tsv_files is wired through here
+        return reports.test_multiple_reg(*args, tsv_files=tsv_files)
     if mt in ("regression", "regression_t"):
-        return reports.test_single_reg(*args)
+        return reports.test_single_reg(*args, tsv_files=tsv_files)
     return {}
 
 

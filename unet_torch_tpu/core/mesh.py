@@ -60,3 +60,21 @@ def shard_batch(mesh: Mesh, batch):
         return jax.device_put(x, sharded if divisible else replicated)
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
+    """Wrap a host batch iterator with an async device-transfer queue.
+
+    jax.device_put is asynchronous: enqueueing the next batch's transfer while
+    the current step computes hides the H2D copy entirely (the reference
+    transfers synchronously inside the step, Trainer.py:700-702).
+    """
+    import collections
+
+    queue = collections.deque()
+    for batch in iterator:
+        queue.append(shard_batch(mesh, batch))
+        if len(queue) > size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

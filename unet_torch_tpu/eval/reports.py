@@ -958,43 +958,268 @@ def test_single_mc(trainer, input_size, ch, num_class, image_list, save_dir):
     return res.get_results()
 
 
-def test_single_reg(trainer, input_size, ch, num_class, image_list, save_dir):
-    """Single-head density regression eval (ref test_mc3serousv5.py:903-1335)."""
+def create_label_coordinates_2class(tsv_path, shape=(768, 768)):
+    """TSV -> (other, immune) dot maps with x,y halved
+    (ref test_mc3serousv5.py:48-77); immune = 'Immune cells', rest other."""
+    other = np.zeros(shape, np.float64)
+    immune = np.zeros(shape, np.float64)
+    with open(tsv_path) as f:
+        header = f.readline().rstrip("\n").split("\t")
+        xi, yi = header.index("x"), header.index("y")
+        ci = header.index("class") if "class" in header else None
+        for line in f:
+            cols = line.rstrip("\n").split("\t")
+            if len(cols) <= max(xi, yi) or not cols[xi]:
+                continue
+            x = min(max(int(np.rint(float(cols[xi]) / 2)) - 1, 0),
+                    shape[1] - 1)
+            y = min(max(int(np.rint(float(cols[yi]) / 2)) - 1, 0),
+                    shape[0] - 1)
+            cls = cols[ci] if ci is not None and len(cols) > ci else ""
+            if cls == "Immune cells":
+                immune[y, x] = 1
+            else:
+                other[y, x] = 1
+    return other, immune
+
+
+class TwoChannelRegResults:
+    """Shared accumulator for the two-channel density-regression eval suites
+    (test_single_reg, ref test_mc3serousv5.py:903-1335; test_multiple_reg,
+    ref test_reg3serousv5mt.py:186-624): per-image other/immune counts from
+    density sums, ratio metrics, GAME grids, sigma-grid Regression matching;
+    emits resultsData.csv / resultsDataMean.csv / resultsGridCount.csv /
+    resultsMatching.csv + scatter PNGs with the reference's exact columns."""
+
+    def __init__(self, save_dir):
+        self.save_dir = save_dir
+        self.sample_list = []
+        self.sigma_list = [5, 20]
+        self.sigma_thresh_list = list(np.arange(0.5, 1, 0.05))
+        S, T = len(self.sigma_list), len(self.sigma_thresh_list)
+        self.data = {h: {k: [] for k in
+                         ("GT", "Pred", "AbsDiff", "Accuracy",
+                          "AccuracyRelative", "AccuracyRelativePD")}
+                     for h in ("other", "immune", "ratio")}
+        self.Gmetrics = {1: [], 2: [], 3: []}
+        self.arr = {h: [np.zeros((S, T)) for _ in range(3)]
+                    for h in ("other", "immune")}
+        self.performace_results = {}
+
+    def add(self, pred_other, pred_immune, gt_dot_other, gt_dot_immune):
+        counts = {}
+        for head, pred, dot in (("other", pred_other, gt_dot_other),
+                                ("immune", pred_immune, gt_dot_immune)):
+            gt_count = float(np.sum(dot))
+            pr_count = float(np.sum(pred))
+            counts[head] = (gt_count, pr_count)
+            abs_diff, acc, rel, rpd = count_accuracy_metric(gt_count,
+                                                            pr_count)
+            d = self.data[head]
+            d["GT"].append(round(gt_count, 4))
+            d["Pred"].append(round(pr_count, 4))
+            d["AbsDiff"].append(round(abs_diff, 4))
+            d["Accuracy"].append(round(acc, 4))
+            d["AccuracyRelative"].append(round(rel, 4))
+            d["AccuracyRelativePD"].append(round(rpd, 4))
+
+        (go, po), (gi, pi) = counts["other"], counts["immune"]
+        ratio_gt = gi / max(go + gi, 1e-7)
+        ratio_pr = pi / max(po + pi, 1e-7)
+        abs_diff, acc, rel, rpd = count_accuracy_metric(ratio_gt, ratio_pr)
+        d = self.data["ratio"]
+        d["GT"].append(ratio_gt)
+        d["Pred"].append(ratio_pr)
+        d["AbsDiff"].append(abs_diff)
+        d["Accuracy"].append(acc)
+        d["AccuracyRelative"].append(rel)
+        d["AccuracyRelativePD"].append(rpd)
+
+        size = gt_dot_other.shape[0]
+        for L in (1, 2, 3):
+            self.Gmetrics[L].append(
+                gmae(L, gt_dot_other, pred_other, size)
+                + gmae(L, gt_dot_immune, pred_immune, size))
+
+        for head, pred, dot in (("immune", pred_immune, gt_dot_immune),
+                                ("other", pred_other, gt_dot_other)):
+            p, r, f = crowd_matching_test(dot, pred.copy(), self.sigma_list,
+                                          self.sigma_thresh_list,
+                                          input_type="Regression")
+            self.arr[head][0] += p
+            self.arr[head][1] += r
+            self.arr[head][2] += f
+
+    def save(self):
+        import pandas as pd
+        from scipy.stats import pearsonr
+
+        plt = _plt()
+        for head, name, lims in (("immune", "resultsData_immune.png", None),
+                                 ("immune", "resultsData_immune_200.png", 200),
+                                 ("immune", "resultsData_immune_50.png", 50),
+                                 ("other", "resultsData_other.png", None)):
+            gt, pr = self.data[head]["GT"], self.data[head]["Pred"]
+            plt.scatter(gt, pr, c="black")
+            plt.xlabel("golds")
+            plt.ylabel("predictions")
+            max_limit = int(max(max(gt, default=0), max(pr, default=0))) + 100
+            lim = lims or max_limit
+            plt.xlim(0, lim)
+            plt.ylim(0, lim)
+            plt.plot(range(max_limit))
+            plt.savefig(os.path.join(self.save_dir, name))
+            plt.cla()
+        plt.close("all")
+
+        o, i, r = self.data["other"], self.data["immune"], self.data["ratio"]
+        pd.DataFrame({
+            "sample name": self.sample_list,
+            "cell count Gold": o["GT"], "cell count Pred": o["Pred"],
+            "cell abs diff": o["AbsDiff"], "cell accuracy": o["Accuracy"],
+            "cell accuracy RD": o["AccuracyRelative"],
+            "cell accuracy RD Perantage": o["AccuracyRelativePD"],
+            "immune count Gold": i["GT"], "immune count Pred": i["Pred"],
+            "immune abs diff": i["AbsDiff"], "immune accuracy": i["Accuracy"],
+            "immune accuracy RD": i["AccuracyRelative"],
+            "immune accuracy RD Perantage": i["AccuracyRelativePD"],
+            "ratio Gold": r["GT"], "ratio Pred": r["Pred"],
+            "ratio abs diff": r["AbsDiff"], "ratio accuracy": r["Accuracy"],
+            "ratio accuracy RD": r["AccuracyRelative"],
+            "ratio accuracy RD Perantage": r["AccuracyRelativePD"],
+        }).to_csv(os.path.join(self.save_dir, "resultsData.csv"), index=False)
+
+        def _pearson(a, b):
+            if len(a) < 2 or np.std(a) == 0 or np.std(b) == 0:
+                return 0.0
+            return pearsonr(a, b)[0]
+
+        def mean(v):
+            return round(sum(v) / max(len(v), 1), 4)
+
+        self.performace_results = {
+            "Cell MAE": [mean(o["AbsDiff"])],
+            "Cell MRE": [mean([min(x, 5) for x in o["Accuracy"]])],
+            "Cell MRE max": [mean(o["AccuracyRelative"])],
+            "Cell RPD": [mean(o["AccuracyRelativePD"])],
+            "Cell Pearson r": [round(_pearson(o["GT"], o["Pred"]), 4)],
+            "Immune MAE": [mean(i["AbsDiff"])],
+            "Immune MRE": [mean([min(x, 5) for x in i["Accuracy"]])],
+            "Immune MRE max": [mean(i["AccuracyRelative"])],
+            "Immune RPD": [mean(i["AccuracyRelativePD"])],
+            "Immune Pearson r": [round(_pearson(i["GT"], i["Pred"]), 4)],
+            "Ratio MAE": [mean(r["AbsDiff"])],
+            "Ratio MRE": [mean(r["Accuracy"])],
+            "Ratio MRE max": [mean(r["AccuracyRelative"])],
+            "Ratio RPD": [mean(r["AccuracyRelativePD"])],
+            "Ratio pearson r": [round(_pearson(r["GT"], r["Pred"]), 4)],
+        }
+        pd.DataFrame(self.performace_results).to_csv(
+            os.path.join(self.save_dir, "resultsDataMean.csv"), index=False)
+
+        columns = ["gmae_cell", "gmae_cellAccuracyRelative",
+                   "gmae_cellAccuracyRelativePD", "gmae_immune",
+                   "gmae_immuneAccuracyRelative",
+                   "gmae_immuneAccuracyRelativePD"]
+        means = [pd.DataFrame(self.Gmetrics[L], columns=columns
+                              ).mean().to_numpy() for L in (1, 2, 3)]
+        pd.DataFrame(means, columns=columns,
+                     index=["G(1)", "G(2)", "G(3)"]).to_csv(
+            os.path.join(self.save_dir, "resultsGridCount.csv"), index=True)
+
+        n = max(len(self.sample_list), 1)
+        for head in ("other", "immune"):
+            for a in self.arr[head]:
+                a /= n
+        columns = ["prec_cell", "recall_cell", "f1_cell", "prec_immune",
+                   "recall_immune", "f1_immune"]
+        index = ["sigma(5)", "sigma(20)", "sigma(5)_09", "sigma(20)_09"]
+
+        def sig_rows(sl):
+            po_, ro_, fo_ = [np.mean(a[:, sl], axis=1)
+                             for a in self.arr["other"]]
+            pi_, ri_, fi_ = [np.mean(a[:, sl], axis=1)
+                             for a in self.arr["immune"]]
+            return ([po_[0], ro_[0], fo_[0], pi_[0], ri_[0], fi_[0]],
+                    [po_[1], ro_[1], fo_[1], pi_[1], ri_[1], fi_[1]])
+
+        row1, row2 = sig_rows(slice(None))
+        row3, row4 = sig_rows(slice(None, -1))
+        pd.DataFrame([row1, row2, row3, row4], columns=columns,
+                     index=index).to_csv(
+            os.path.join(self.save_dir, "resultsMatching.csv"), index=True)
+
+    def get_results(self):
+        return self.performace_results
+
+
+def _gt_dots_for(img_path, tsv_files, shape):
+    """TSV dot maps when annotations exist (ref path), else split the
+    class-coded *_gt_dot.png (1=other, 2=immune)."""
+    import cv2
+
+    name = os.path.basename(img_path).split(".png")[0]
+    if tsv_files and name in tsv_files:
+        return create_label_coordinates_2class(tsv_files[name], shape)
+    dot = cv2.imread(img_path.replace(".png", "_gt_dot.png"), 0)
+    if dot is None:
+        return np.zeros(shape), np.zeros(shape)
+    other = (dot == 1).astype(np.float64)
+    immune = (dot == 2).astype(np.float64)
+    if immune.sum() == 0 and other.sum() == 0:
+        other = (dot > 0).astype(np.float64)
+    return other, immune
+
+
+def test_single_reg(trainer, input_size, ch, num_class, image_list, save_dir,
+                    tsv_files=None):
+    """Two-channel density regression eval (ref test_mc3serousv5.py:903-1335):
+    ReLU(model) channels [other, immune] -> /200 -> counts vs TSV dot maps,
+    ratio, GAME, sigma-grid Regression matching."""
     os.makedirs(save_dir, exist_ok=True)
-    res = RegressionResults(save_dir, heads=("cell",))
+    res = TwoChannelRegResults(save_dir)
     predict = make_predict_fn(trainer)
     for img_path in image_list:
-        res.imageNames.append(os.path.basename(img_path))
+        res.sample_list.append(os.path.basename(img_path))
         img_org = _load_eval_image(img_path, ch)
+        h, w = img_org.shape[:2]
         x = preprocess_eval(img_org, input_size).astype(np.float32)
-        out = np.asarray(predict(x))[0, ..., 0]
-        density = np.maximum(out, 0) / 200.0
-        gt = np.load(img_path[: img_path.rfind(".")] + "_label_reg.npy")
-        if gt.ndim == 3:
-            gt = gt.sum(axis=-1)
-        gt = zoom_resize(gt, input_size[0], input_size[1], order=0)
-        res.add("cell", density, gt)
+        out = np.maximum(np.asarray(predict(x))[0], 0)
+        pred_other = out[..., 0]
+        pred_immune = out[..., 1] if out.shape[-1] > 1 else \
+            np.zeros_like(pred_other)
+        if (h, w) != tuple(input_size):
+            pred_other = zoom_resize(pred_other, h, w, order=0)
+            pred_immune = zoom_resize(pred_immune, h, w, order=0)
+        pred_other = pred_other / 200.0
+        pred_immune = pred_immune / 200.0
+        dot_other, dot_immune = _gt_dots_for(img_path, tsv_files, (h, w))
+        res.add(pred_other, pred_immune, dot_other, dot_immune)
     res.save()
     return res.get_results()
 
 
 def test_multiple_reg(trainer, input_size, ch, num_class, image_list,
-                      save_dir):
-    """Two-head density regression eval (ref test_reg3serousv5mt.py:186-624)."""
+                      save_dir, tsv_files=None):
+    """Two-head density regression eval (ref test_reg3serousv5mt.py:186-624):
+    same suite, heads (immune, other) from the multitask model."""
     os.makedirs(save_dir, exist_ok=True)
-    res = RegressionResults(save_dir, heads=("immune", "other"))
+    res = TwoChannelRegResults(save_dir)
     predict = make_predict_fn(trainer)
     for img_path in image_list:
-        res.imageNames.append(os.path.basename(img_path))
+        res.sample_list.append(os.path.basename(img_path))
         img_org = _load_eval_image(img_path, ch)
+        h, w = img_org.shape[:2]
         x = preprocess_eval(img_org, input_size).astype(np.float32)
-        o1, o2 = predict(x)
-        stem = img_path[: img_path.rfind(".")]
-        for head, out, suffix in (("immune", o1, "_label_immune_reg.npy"),
-                                  ("other", o2, "_label_other_reg.npy")):
-            density = np.maximum(np.asarray(out)[0, ..., 0], 0) / 200.0
-            gt = np.load(stem + suffix)
-            gt = zoom_resize(gt, input_size[0], input_size[1], order=0)
-            res.add(head, density, gt)
+        o_immune, o_other = predict(x)
+        pred_immune = np.maximum(np.asarray(o_immune)[0, ..., 0], 0)
+        pred_other = np.maximum(np.asarray(o_other)[0, ..., 0], 0)
+        if (h, w) != tuple(input_size):
+            pred_other = zoom_resize(pred_other, h, w, order=0)
+            pred_immune = zoom_resize(pred_immune, h, w, order=0)
+        pred_other = pred_other / 200.0
+        pred_immune = pred_immune / 200.0
+        dot_other, dot_immune = _gt_dots_for(img_path, tsv_files, (h, w))
+        res.add(pred_other, pred_immune, dot_other, dot_immune)
     res.save()
     return res.get_results()

@@ -244,16 +244,22 @@ class Trainer:
             self._log(f"Epoch {epoch}/{self.num_epochs}", "-" * 10)
             since = time.time()
 
-            # ---- train phase
+            # ---- train phase (device-prefetched: H2D overlaps compute)
             self._log(f"LR {self._current_lr()}")
             losses = []
-            for x, y in self.dataloader["train"]:
-                if self.state is None:
-                    self.state = self._init_state(tx, x)
-                batch = shard_batch(self.mesh, (jnp.asarray(x), jnp.asarray(y)))
-                lr = self._current_lr()
-                self.state, loss = train_step(self.state, batch[0], batch[1],
-                                              lr, self.rng.next())
+            from unet_torch_tpu.core.mesh import prefetch_to_device
+
+            def _init_wrap(it):
+                for batch in it:
+                    if self.state is None:
+                        self.state = self._init_state(tx, batch[0])
+                    yield batch
+
+            for xb, yb in prefetch_to_device(
+                    _init_wrap(self.dataloader["train"]), self.mesh):
+                self.state, loss = train_step(self.state, xb, yb,
+                                              self._current_lr(),
+                                              self.rng.next())
                 self.iter_num += 1
                 losses.append(loss)
             epoch_loss = float(np.mean([np.asarray(l) for l in losses]))
