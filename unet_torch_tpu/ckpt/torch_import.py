@@ -34,6 +34,104 @@ def _copy_doubleconv(sd, prefix, p, bs):
         bs[bn]["var"] = np.asarray(sd[f"{prefix}.{bi}.running_var"])
 
 
+def load_torch_transunet(state_dict, params, batch_stats):
+    """Map a reference TransUnet (vit_seg_modeling.VisionTransformer)
+    state_dict into our flax trees.  Verified to pixel-level output parity in
+    tests/test_transunet_torch_parity.py (module-traversal variant of the
+    same mapping)."""
+    import jax
+
+    sd = {k: (v.detach().numpy() if hasattr(v, "detach") else np.asarray(v))
+          for k, v in state_dict.items()}
+    params = jax.tree_util.tree_map(np.asarray, params)
+    batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats)
+
+    def lin(w):
+        return np.asarray(w).T
+
+    t = params["transformer"]
+    emb = t["embeddings"]
+    emb["patch_embeddings"]["kernel"] = _conv(
+        sd["transformer.embeddings.patch_embeddings.weight"])
+    emb["patch_embeddings"]["bias"] = \
+        sd["transformer.embeddings.patch_embeddings.bias"]
+    emb["position_embeddings"] = \
+        sd["transformer.embeddings.position_embeddings"]
+
+    if "hybrid_model" in emb:
+        hm = emb["hybrid_model"]
+        base = "transformer.embeddings.hybrid_model"
+        hm["root_conv"]["kernel"] = _conv(sd[f"{base}.root.conv.weight"])
+        hm["root_gn"]["scale"] = sd[f"{base}.root.gn.weight"]
+        hm["root_gn"]["bias"] = sd[f"{base}.root.gn.bias"]
+        for key in list(hm):
+            if not key.startswith("block"):
+                continue
+            bidx, uidx = key.replace("block", "").split("_unit")
+            tbase = f"{base}.body.block{bidx}.unit{uidx}"
+            unit = hm[key]
+            for conv in ("conv1", "conv2", "conv3"):
+                unit[conv]["kernel"] = _conv(sd[f"{tbase}.{conv}.weight"])
+            for gn in ("gn1", "gn2", "gn3"):
+                unit[gn]["scale"] = sd[f"{tbase}.{gn}.weight"]
+                unit[gn]["bias"] = sd[f"{tbase}.{gn}.bias"]
+            if "downsample" in unit:
+                unit["downsample"]["kernel"] = _conv(
+                    sd[f"{tbase}.downsample.weight"])
+                unit["gn_proj"]["scale"] = sd[f"{tbase}.gn_proj.weight"]
+                unit["gn_proj"]["bias"] = sd[f"{tbase}.gn_proj.bias"]
+
+    enc = t["encoder"]
+    i = 0
+    while f"encoderblock_{i}" in enc:
+        ob = enc[f"encoderblock_{i}"]
+        tb = f"transformer.encoder.layer.{i}"
+        for ln_ours, ln_theirs in (("attention_norm", "attention_norm"),
+                                   ("ffn_norm", "ffn_norm")):
+            ob[ln_ours]["scale"] = sd[f"{tb}.{ln_theirs}.weight"]
+            ob[ln_ours]["bias"] = sd[f"{tb}.{ln_theirs}.bias"]
+        for name in ("query", "key", "value", "out"):
+            ob["attn"][name]["kernel"] = lin(sd[f"{tb}.attn.{name}.weight"])
+            ob["attn"][name]["bias"] = sd[f"{tb}.attn.{name}.bias"]
+        for fc in ("fc1", "fc2"):
+            ob["ffn"][fc]["kernel"] = lin(sd[f"{tb}.ffn.{fc}.weight"])
+            ob["ffn"][fc]["bias"] = sd[f"{tb}.ffn.{fc}.bias"]
+        i += 1
+    enc["encoder_norm"]["scale"] = \
+        sd["transformer.encoder.encoder_norm.weight"]
+    enc["encoder_norm"]["bias"] = sd["transformer.encoder.encoder_norm.bias"]
+
+    def conv2drelu(prefix, p, b):
+        p["conv"]["kernel"] = _conv(sd[f"{prefix}.0.weight"])
+        p["bn"]["scale"] = sd[f"{prefix}.1.weight"]
+        p["bn"]["bias"] = sd[f"{prefix}.1.bias"]
+        b["bn"]["mean"] = sd[f"{prefix}.1.running_mean"]
+        b["bn"]["var"] = sd[f"{prefix}.1.running_var"]
+
+    for dec_name in [k for k in params if k.startswith("decoder")]:
+        suffix = dec_name.replace("decoder", "")
+        tdec = f"decoder{suffix}"
+        dec_p, dec_b = params[dec_name], batch_stats[dec_name]
+        conv2drelu(f"{tdec}.conv_more", dec_p["conv_more"],
+                   dec_b["conv_more"])
+        bi = 0
+        while f"block_{bi}" in dec_p:
+            conv2drelu(f"{tdec}.blocks.{bi}.conv1",
+                       dec_p[f"block_{bi}"]["conv1"],
+                       dec_b[f"block_{bi}"]["conv1"])
+            conv2drelu(f"{tdec}.blocks.{bi}.conv2",
+                       dec_p[f"block_{bi}"]["conv2"],
+                       dec_b[f"block_{bi}"]["conv2"])
+            bi += 1
+    for head_name in [k for k in params if k.startswith("segmentation_head")]:
+        suffix = head_name.replace("segmentation_head", "")
+        params[head_name]["conv"]["kernel"] = _conv(
+            sd[f"segmentation_head{suffix}.0.weight"])
+        params[head_name]["conv"]["bias"] = \
+            sd[f"segmentation_head{suffix}.0.bias"]
+    return params, batch_stats
+
+
 def load_torch_unet(state_dict, params, batch_stats, heads=("",)):
     """Map a reference UNet/UNet_multitask state_dict into (params,
     batch_stats) trees created by our UNet/UNetMultitask.init.

@@ -88,11 +88,16 @@ def build_datasets_and_model(cfg: Config, seed: int):
                            input_size=input_size, **common)
     elif mt == "CLTR":
         tsv_files = get_points_from_tsv(d.dot_annotation_path)
+        cltr_args = dict(cfg.raw.get("cltr_config", {}))
+        point_kw = dict(
+            crop_size=int(cltr_args.get("crop_size", 256)),
+            num_knn=int(cltr_args.get("num_knn", 4)),
+            dot_shape=tuple(cltr_args.get("dot_shape", (768, 768))))
         train_ds = DataPointReg(list(d.train_path), tsv_files,
                                 augmentation=d.augmentation, train=True,
-                                **common)
+                                **common, **point_kw)
         val_ds = DataPointReg(list(d.val_path), tsv_files, augmentation=False,
-                              train=False, **common)
+                              train=False, **common, **point_kw)
     else:
         raise ValueError(f'Invalid model_type "{mt}"')
 

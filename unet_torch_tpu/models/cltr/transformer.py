@@ -137,11 +137,11 @@ class TransformerEncoderLayer(nn.Module):
         src2 = FullAttention(self.d_model, self.nhead, self.dropout_rate,
                              name="self_attn")(
             q, k, src, train=train, key_padding_mask=key_padding_mask)
-        src = nn.LayerNorm(name="norm1")(src + drop("d1")(src2))
+        src = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, name="norm1")(src + drop("d1")(src2))
         src2 = _dense(self.dim_feedforward, "linear1")(src)
         src2 = drop("d")(nn.relu(src2))
         src2 = _dense(self.d_model, "linear2")(src2)
-        return nn.LayerNorm(name="norm2")(src + drop("d2")(src2))
+        return nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, name="norm2")(src + drop("d2")(src2))
 
 
 class TransformerDecoderLayer(nn.Module):
@@ -168,7 +168,7 @@ class TransformerDecoderLayer(nn.Module):
         v = _dense(d, "sa_v_proj")(tgt)
         tgt2 = RawAttention(d, self.nhead, d, self.dropout_rate,
                             name="self_attn")(q, k, v, train=train)
-        tgt = nn.LayerNorm(name="norm1")(tgt + drop()(tgt2))
+        tgt = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, name="norm1")(tgt + drop()(tgt2))
 
         # ---- cross-attention (ref :316-349)
         q_content = _dense(d, "ca_qcontent_proj")(tgt)
@@ -195,13 +195,13 @@ class TransformerDecoderLayer(nn.Module):
         tgt2 = RawAttention(d * 2, self.nhead, d, self.dropout_rate,
                             name="cross_attn")(
             q, k, v, train=train, key_padding_mask=key_padding_mask)
-        tgt = nn.LayerNorm(name="norm2")(tgt + drop()(tgt2))
+        tgt = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, name="norm2")(tgt + drop()(tgt2))
 
         # ---- FFN (ref :354-357)
         tgt2 = _dense(self.dim_feedforward, "linear1")(tgt)
         tgt2 = drop()(nn.relu(tgt2))
         tgt2 = _dense(self.d_model, "linear2")(tgt2)
-        return nn.LayerNorm(name="norm3")(tgt + drop()(tgt2))
+        return nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, name="norm3")(tgt + drop()(tgt2))
 
 
 class Transformer(nn.Module):
@@ -238,7 +238,7 @@ class Transformer(nn.Module):
 
         output = jnp.zeros_like(query_pos)
         intermediate = []
-        norm = nn.LayerNorm(name="decoder_norm")
+        norm = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, name="decoder_norm")
         for i in range(self.num_decoder_layers):
             pos_transformation = 1.0 if i == 0 else query_scale(output)
             query_sine_embed = gen_sineembed_for_position(
