@@ -100,11 +100,17 @@ def _superlevel_ph0_np(img: np.ndarray, max_bars: int):
 
 
 def _count_components_np(mask: np.ndarray) -> int:
-    """Connected components (8-conn) of a binary mask — host side."""
-    import cv2
+    """Connected components (8-conn) of a binary mask — host side (native C++
+    union-find when built, cv2 otherwise)."""
+    try:
+        from unet_torch_tpu.native import ph0 as _native
 
-    n, _ = cv2.connectedComponents(mask.astype(np.uint8), connectivity=8)
-    return int(n - 1)
+        return _native.count_components(mask.astype(np.uint8))
+    except Exception:  # pragma: no cover
+        import cv2
+
+        n, _ = cv2.connectedComponents(mask.astype(np.uint8), connectivity=8)
+        return int(n - 1)
 
 
 def _pairing_host(likelihood: np.ndarray, target: np.ndarray, max_bars: int,
