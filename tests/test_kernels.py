@@ -46,3 +46,27 @@ def test_minplus_matches_reference():
     ref = minplus_reference(a, b)
     out = minplus_pallas(a, b, tm=32, tn=32, tk=32, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_attention_gradients_match_reference():
+    """custom-VJP (Pallas fwd in interpret mode, einsum bwd) == full autodiff
+    of the einsum reference."""
+    import jax
+
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(1, 2, 16, 8), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 2, 12, 8), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 2, 12, 8), jnp.float32)
+    scale = 8 ** -0.5
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, scale) ** 2)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, scale, use_pallas=True,
+                                       interpret=True) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

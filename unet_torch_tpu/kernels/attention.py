@@ -85,11 +85,39 @@ def _attention_pallas(q, k, v, scale, interpret=False):
     return out.reshape(b, h, nq, dv)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _attention_pallas_diff(q, k, v, scale, interpret):
+    return _attention_pallas(q, k, v, scale, interpret=interpret)
+
+
+def _attention_diff_fwd(q, k, v, scale, interpret):
+    return _attention_pallas(q, k, v, scale, interpret=interpret), (q, k, v)
+
+
+def _attention_diff_bwd(scale, interpret, res, g):
+    """Pallas forward / einsum backward: the backward recomputes the (small)
+    probability matrix and lets XLA fuse the four einsums — pallas_call itself
+    has no autodiff rule."""
+    q, k, v = res
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g, v)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q) * scale
+    return dq, dk, dv
+
+
+_attention_pallas_diff.defvjp(_attention_diff_fwd, _attention_diff_bwd)
+
+
 def fused_attention(q, k, v, scale=None, key_padding_mask=None,
                     use_pallas=None, interpret=False):
     """q,k: (B,H,N,Dqk); v: (B,H,Nk,Dv) -> (B,H,Nq,Dv).
 
-    Falls back to the einsum path when masked or on non-TPU backends.
+    Differentiable (custom VJP: Pallas forward, einsum backward).  Falls back
+    to the einsum path when masked or on non-TPU backends.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -101,4 +129,4 @@ def fused_attention(q, k, v, scale=None, key_padding_mask=None,
             s = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf, s)
         p = jax.nn.softmax(s, axis=-1)
         return jnp.einsum("bhqk,bhkd->bhqd", p, v)
-    return _attention_pallas(q, k, v, float(scale), interpret=interpret)
+    return _attention_pallas_diff(q, k, v, float(scale), interpret)

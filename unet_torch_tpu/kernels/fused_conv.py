@@ -88,6 +88,59 @@ def fused_conv3x3_bn_relu_pallas(x, w, scale, bias, th: int = 8,
     return out[:, :h]
 
 
+@functools.partial(jax.jit, static_argnames=("th", "interpret"))
+def fused_conv3x3_bn_relu_pallas_v2(x, w, scale, bias, th: int = 16,
+                                    interpret: bool = False):
+    """Column-packed variant: three (TH*W, 3*Cin) x (3*Cin, Cout) matmuls
+    (K=3*Cin) instead of nine K=Cin ones — deeper MXU contraction."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, wdt, cin = x.shape
+    cout = w.shape[-1]
+    h_pad = (-h) % th
+    xp = jnp.pad(x, ((0, 0), (1, 1 + h_pad), (1, 1), (0, 0)))
+    hp = h + h_pad
+    # w (3,3,cin,cout) -> per-dy (3*cin, cout), dx-major to match the concat
+    w2 = w.reshape(3, 3 * cin, cout)
+
+    def kernel(x_ref, w_ref, s_ref, b_ref, o_ref):
+        xt = x_ref[0]  # (th+2, wdt+2, cin)
+        acc = jnp.zeros((th * wdt, cout), jnp.float32)
+        for dy in range(3):
+            rows = xt[dy:dy + th]
+            packed = jnp.concatenate(
+                [rows[:, 0:wdt, :], rows[:, 1:wdt + 1, :],
+                 rows[:, 2:wdt + 2, :]], axis=-1).reshape(th * wdt, 3 * cin)
+            acc += jax.lax.dot_general(
+                packed, w_ref[dy], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        out = jnp.maximum(acc * s_ref[0] + b_ref[0], 0.0)
+        o_ref[0] = out.reshape(th, wdt, cout).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, hp // th),
+        in_specs=[
+            pl.BlockSpec((pl.Element(1), pl.Element(th + 2),
+                          pl.Element(wdt + 2), pl.Element(cin)),
+                         lambda i, j: (i, j * th, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3 * cin, cout), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, wdt, cout), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wdt, cout), x.dtype),
+        interpret=interpret,
+    )(xp, w2, scale.reshape(1, -1), bias.reshape(1, -1))
+    return out[:, :h]
+
+
 def fused_conv3x3_bn_relu(x, w, scale, bias, use_pallas=None,
                           interpret=False):
     if use_pallas is None:
