@@ -173,3 +173,16 @@ def test_build_transunet_factory():
     assert isinstance(m, VisionTransformer)
     assert m.config.patches.grid == (14, 14)
     assert m.config.n_classes == 4
+
+
+def test_transunet_multitask_em_six_heads():
+    from unet_torch_tpu.models.transunet import VisionTransformerMultitaskEM
+
+    c = small_r50_config()
+    model = VisionTransformerMultitaskEM(c, img_size=64, num_classes=1)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.key(0), x, train=False)
+    outs = model.apply(variables, x, train=False)
+    assert len(outs) == 6
+    for o in outs:
+        assert o.shape == (1, 64, 64, 1)

@@ -92,7 +92,10 @@ def fused_conv3x3_bn_relu_pallas(x, w, scale, bias, th: int = 8,
 def fused_conv3x3_bn_relu_pallas_v2(x, w, scale, bias, th: int = 16,
                                     interpret: bool = False):
     """Column-packed variant: three (TH*W, 3*Cin) x (3*Cin, Cout) matmuls
-    (K=3*Cin) instead of nine K=Cin ones — deeper MXU contraction."""
+    (K=3*Cin) instead of nine K=Cin ones — deeper MXU contraction.
+
+    NOTE: interpret-mode verified; currently fails Mosaic compilation on the
+    real TPU backend (round-2 item) — use v1 or the XLA reference on TPU."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
