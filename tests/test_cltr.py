@@ -94,8 +94,12 @@ def test_cltr_train_step_updates_params(model_and_vars):
     crit = SetCriterion(num_classes=2,
                         weight_dict=build_weight_dict(dec_layers=2))
     tx = make_optimizer("Adam", 1e-4, 0.0)
-    state = TrainState.create(variables["params"],
-                              variables.get("batch_stats", {}), tx)
+    # deep-copy: update_step donates its state, and `variables` is a
+    # module-scoped fixture shared with later tests
+    state = TrainState.create(
+        jax.tree_util.tree_map(jnp.copy, variables["params"]),
+        jax.tree_util.tree_map(jnp.copy, variables.get("batch_stats", {})),
+        tx)
     cost_step, update_step, infer_step = make_cltr_steps(model, crit, tx)
 
     rng0 = np.random.RandomState(0)
@@ -119,3 +123,18 @@ def test_cltr_train_step_updates_params(model_and_vars):
 
     logits, pts = infer_step(state2, x)
     assert logits.shape == (1, 16, 2)
+
+
+def test_postprocess_topk(model_and_vars):
+    from unet_torch_tpu.models.cltr import PostProcess
+
+    model, variables = model_and_vars
+    x = jnp.asarray(np.random.RandomState(4).randn(2, 64, 64, 3), jnp.float32)
+    out = model.apply(variables, x, train=False)
+    results = PostProcess()(out, [(128, 128), (64, 64)])
+    assert len(results) == 2
+    # top-k capped at num_queries * num_classes here (16*2 < 100)
+    assert results[0]["scores"].shape == results[0]["labels"].shape
+    pts = results[0]["points"]
+    assert pts.shape[1] == 2
+    assert (pts >= 0).all() and (pts[:, 0] <= 128).all()

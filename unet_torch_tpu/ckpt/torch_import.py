@@ -34,6 +34,50 @@ def _copy_doubleconv(sd, prefix, p, bs):
         bs[bn]["var"] = np.asarray(sd[f"{prefix}.{bi}.running_var"])
 
 
+def load_torchvision_resnet50(state_dict, params, batch_stats,
+                              prefix: str = ""):
+    """Map a torchvision resnet50 state_dict into our CLTR backbone trees
+    (models/cltr/backbone.py::ResNet50) — frozen-BN tensors land in
+    batch_stats, matching the reference's FrozenBatchNorm2d buffers
+    (CLTR/backbone.py:26-62).
+
+    ``prefix`` strips a leading key prefix (e.g. "backbone.0.body.").
+    """
+    import jax
+
+    sd = {}
+    for k, v in state_dict.items():
+        if prefix and not k.startswith(prefix):
+            continue
+        sd[k[len(prefix):]] = (v.detach().numpy() if hasattr(v, "detach")
+                               else np.asarray(v))
+    params = jax.tree_util.tree_map(np.asarray, params)
+    batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats)
+
+    def bn(src, dst):
+        dst["weight"] = sd[f"{src}.weight"]
+        dst["bias"] = sd[f"{src}.bias"]
+        dst["running_mean"] = sd[f"{src}.running_mean"]
+        dst["running_var"] = sd[f"{src}.running_var"]
+
+    params["conv1"]["kernel"] = _conv(sd["conv1.weight"])
+    bn("bn1", batch_stats["bn1"])
+    layers = (3, 4, 6, 3)
+    for li, n in enumerate(layers, start=1):
+        for b in range(n):
+            key = f"layer{li}_block{b}"
+            src = f"layer{li}.{b}"
+            for ci in ("conv1", "conv2", "conv3"):
+                params[key][ci]["kernel"] = _conv(sd[f"{src}.{ci}.weight"])
+            for bi in ("bn1", "bn2", "bn3"):
+                bn(f"{src}.{bi}", batch_stats[key][bi])
+            if f"{src}.downsample.0.weight" in sd:
+                params[key]["downsample_conv"]["kernel"] = _conv(
+                    sd[f"{src}.downsample.0.weight"])
+                bn(f"{src}.downsample.1", batch_stats[key]["downsample_bn"])
+    return params, batch_stats
+
+
 def load_torch_transunet(state_dict, params, batch_stats):
     """Map a reference TransUnet (vit_seg_modeling.VisionTransformer)
     state_dict into our flax trees.  Verified to pixel-level output parity in

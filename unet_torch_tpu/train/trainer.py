@@ -32,6 +32,7 @@ import numpy as np
 
 from unet_torch_tpu import ckpt
 from unet_torch_tpu.core.mesh import shard_batch
+from unet_torch_tpu.losses import TOPO_LOSSES
 from unet_torch_tpu.core.rng import RngStream
 from unet_torch_tpu.train.optim import ReduceLROnPlateau, make_optimizer, poly_lr
 from unet_torch_tpu.train.state import TrainState
@@ -41,9 +42,8 @@ from unet_torch_tpu.train.steps import (
     make_topo_steps,
 )
 
-TOPO_LOSS_NAMES = {"TopoCount", "TopoCount2", "TopoLoss", "TopoLoss2",
-                   "MyTopoLoss1", "MyTopoLoss2", "MyTopoLossGraph",
-                   "MyTopoLossVR"}
+# Trainer.py:115's warm-up dispatch names (superset of the calc_loss keys)
+TOPO_LOSS_NAMES = TOPO_LOSSES | {"TopoCount2", "TopoLoss2"}
 
 
 def _device_mem() -> str:
