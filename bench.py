@@ -15,7 +15,7 @@ import json
 import os
 import time
 
-BATCH = 8
+BATCH = 16
 SIZE = 512
 N_CLASSES = 3
 CHANNELS = 3
