@@ -70,3 +70,42 @@ def test_fused_attention_gradients_match_reference():
     g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_ref, g_pal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_max_pool_2x2_forward_and_grad_match_xla():
+    """Reshape-pool custom VJP == nn.max_pool + XLA select_and_scatter grads
+    (both route ties to the first window element)."""
+    import jax
+    from flax import linen as nn
+
+    from unet_torch_tpu.kernels.pool import max_pool_2x2
+
+    rng = np.random.RandomState(5)
+    # include exact ties (ReLU-style zeros) to check tie routing
+    x = rng.randn(2, 8, 10, 3).astype(np.float32)
+    x[x < 0] = 0.0
+    xj = jnp.asarray(x)
+
+    ref_fn = lambda t: jnp.sum(
+        nn.max_pool(t, (2, 2), strides=(2, 2)) ** 2)
+    our_fn = lambda t: jnp.sum(max_pool_2x2(t) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(max_pool_2x2(xj)),
+        np.asarray(nn.max_pool(xj, (2, 2), strides=(2, 2))))
+    g_ref = jax.grad(ref_fn)(xj)
+    g_our = jax.grad(our_fn)(xj)
+    np.testing.assert_allclose(np.asarray(g_our), np.asarray(g_ref),
+                               atol=1e-6)
+
+
+def test_max_pool_2x2_odd_sizes():
+    import jax
+
+    from unet_torch_tpu.kernels.pool import max_pool_2x2
+
+    x = jnp.asarray(np.random.RandomState(6).randn(1, 7, 9, 2), jnp.float32)
+    out = max_pool_2x2(x)
+    assert out.shape == (1, 3, 4, 2)
+    g = jax.grad(lambda t: jnp.sum(max_pool_2x2(t)))(x)
+    assert g.shape == x.shape
