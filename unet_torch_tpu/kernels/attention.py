@@ -123,6 +123,14 @@ def fused_attention(q, k, v, scale=None, key_padding_mask=None,
         scale = q.shape[-1] ** -0.5
     if use_pallas is None:
         use_pallas = _use_pallas_default() and key_padding_mask is None
+        # whole-sequence kernel: q/k/v + the (Nq, Nk) score matrix must fit
+        # VMEM (~16MB/core); longer sequences fall back to XLA until the
+        # flash-tiled variant lands (round-2 roadmap)
+        nq, nk = q.shape[2], k.shape[2]
+        vmem_bytes = 4 * (nq * nk + nq * q.shape[3] + nk * k.shape[3]
+                          + nk * v.shape[3] + nq * v.shape[3])
+        if vmem_bytes > 10 * 1024 * 1024:
+            use_pallas = False
     if key_padding_mask is not None or not use_pallas:
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
         if key_padding_mask is not None:
