@@ -1,0 +1,69 @@
+"""Coverage for remaining small capabilities: NoiseFiltering, eval preprocess,
+MetricLogger, profile_trace no-op, Macenko-gated dataset error."""
+
+import numpy as np
+import pytest
+
+
+def test_noise_filtering_drops_small_components():
+    from unet_torch_tpu.eval.reports import noise_filtering
+
+    img = np.zeros((64, 64), np.uint8)
+    img[0:20, 0:20] = 1      # 400 px — kept
+    img[40:43, 40:43] = 2    # 9 px — dropped (< 150)
+    out = noise_filtering(img.copy(), thresh=150)
+    assert (out[0:20, 0:20] == 1).all()
+    assert (out[40:43, 40:43] == 0).all()
+
+
+def test_load_and_preprocess_eval_path(tmp_path):
+    import cv2
+
+    from unet_torch_tpu.data.io import load_and_preprocess
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (48, 40, 3), np.uint8)
+    path = str(tmp_path / "a.png")
+    cv2.imwrite(path, img)
+    out = load_and_preprocess(path, channel=3, input_size=(32, 32))
+    assert out.shape == (32, 32, 3)
+    np.testing.assert_allclose(out.mean((0, 1)), 0, atol=1e-5)
+    np.testing.assert_allclose(out.std((0, 1)), 1, atol=1e-4)
+
+
+def test_metric_logger_eta_and_meters(capsys):
+    from unet_torch_tpu.utils import MetricLogger
+
+    m = MetricLogger()
+    for i in m.log_every(range(6), 2, "hdr"):
+        m.update(loss=float(i))
+    out = capsys.readouterr().out
+    assert "hdr" in out and "Total time" in out
+    assert abs(m.meters["loss"].global_avg - 2.5) < 1e-9
+
+
+def test_profile_trace_noop():
+    from unet_torch_tpu.utils import profile_trace
+
+    with profile_trace(None):
+        pass  # disabled: must be a clean no-op
+
+
+def test_macenko_required_for_channel_minus2(tmp_path):
+    from unet_torch_tpu.data.datasets import DataBinary
+
+    with pytest.raises(ValueError, match="MacenkoNormalizer"):
+        DataBinary([str(tmp_path)], ch=-2)
+
+
+def test_hed_channel_dataset(tmp_path):
+    import cv2
+
+    from unet_torch_tpu.data.datasets import DataBinary
+    from unet_torch_tpu.data.synthetic import write_synthetic_dataset
+
+    write_synthetic_dataset(str(tmp_path), n_images=1, size=32)
+    ds = DataBinary([str(tmp_path)], ch=-1, input_size=(32, 32))
+    img, label = ds[0]
+    assert img.shape == (32, 32, 1)  # hematoxylin channel only
+    assert np.isfinite(img).all()
