@@ -22,7 +22,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_data(n_train=16, n_val=8, size=64, n_classes=3, seed=0):
+def make_data(n_train=16, n_val=16, size=64, n_classes=3, seed=0):
     from unet_torch_tpu.data.synthetic import make_blob_sample
 
     rng = np.random.RandomState(seed)
@@ -49,14 +49,14 @@ def dice_multiclass(pred_labels, target, n_classes):
     return float(np.mean(dices))
 
 
-def train_torch(train, val, epochs, base, n_classes, lr, batch):
+def train_torch(train, val, epochs, base, n_classes, lr, batch, seed=0):
     import torch
 
     sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
     sys.path.insert(0, "/root/reference")
     from Model import UNet as TorchUNet
 
-    torch.manual_seed(0)
+    torch.manual_seed(seed)
     (xs, ys), (vx, vy) = train, val
     model = TorchUNet(3, n_classes, base, usa_cuda=False)
     opt = torch.optim.Adam(model.parameters(), lr=lr, weight_decay=1e-4)
@@ -79,7 +79,7 @@ def train_torch(train, val, epochs, base, n_classes, lr, batch):
     return dice_multiclass(pred, vy, n_classes)
 
 
-def train_ours(train, val, epochs, base, n_classes, lr, batch):
+def train_ours(train, val, epochs, base, n_classes, lr, batch, seed=0):
     import jax
     import jax.numpy as jnp
 
@@ -91,13 +91,13 @@ def train_ours(train, val, epochs, base, n_classes, lr, batch):
     (xs, ys), (vx, vy) = train, val
     model = UNet(3, n_classes, base)
     tx = make_optimizer("Adam", lr, 1e-4)
-    variables = model.init(jax.random.key(0), jnp.asarray(xs[:1]),
+    variables = model.init(jax.random.key(seed), jnp.asarray(xs[:1]),
                            train=False)
     state = TrainState.create(variables["params"],
                               variables.get("batch_stats", {}), tx)
     step, _ = make_single_steps(model, tx, "CE", "CE", n_classes)
-    rng = np.random.RandomState(0)
-    key = jax.random.key(1)
+    rng = np.random.RandomState(seed)
+    key = jax.random.key(seed + 1)
     for _ in range(epochs):
         perm = rng.permutation(len(xs))
         for i in range(0, len(xs), batch):
@@ -113,28 +113,51 @@ def train_ours(train, val, epochs, base, n_classes, lr, batch):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--base", type=int, default=8)
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--n-train", type=int, default=16)
+    ap.add_argument("--n-val", type=int, default=16)
+    ap.add_argument("--backend", default="cpu", choices=["cpu", "axon"],
+                    help="JAX backend (cpu iterates fast; axon = real TPU)")
+    ap.add_argument("--out", default="PARITY_DICE.json")
     args = ap.parse_args()
 
+    if args.backend == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
     n_classes = 3
-    train, val = make_data(size=args.size, n_classes=n_classes)
-    dice_ref = train_torch(train, val, args.epochs, args.base, n_classes,
-                           args.lr, args.batch)
-    dice_ours = train_ours(train, val, args.epochs, args.base, n_classes,
-                           args.lr, args.batch)
+    train, val = make_data(n_train=args.n_train, n_val=args.n_val,
+                           size=args.size, n_classes=n_classes)
+    ref_dices, our_dices = [], []
+    for seed in range(args.seeds):
+        d_ref = train_torch(train, val, args.epochs, args.base, n_classes,
+                            args.lr, args.batch, seed=seed)
+        d_ours = train_ours(train, val, args.epochs, args.base, n_classes,
+                            args.lr, args.batch, seed=seed)
+        ref_dices.append(d_ref)
+        our_dices.append(d_ours)
+        print(f"seed {seed}: torch {d_ref:.4f}  ours {d_ours:.4f}",
+              flush=True)
+    dice_ref = float(np.mean(ref_dices))
+    dice_ours = float(np.mean(our_dices))
     result = {
         "reference_torch_dice": round(dice_ref, 4),
         "unet_torch_tpu_dice": round(dice_ours, 4),
         "abs_gap": round(abs(dice_ref - dice_ours), 4),
+        "per_seed_torch": [round(d, 4) for d in ref_dices],
+        "per_seed_ours": [round(d, 4) for d in our_dices],
+        "std_torch": round(float(np.std(ref_dices)), 4),
+        "std_ours": round(float(np.std(our_dices)), 4),
         "config": vars(args),
     }
     print(json.dumps(result, indent=2))
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "PARITY_DICE.json")
+                            args.out)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
 

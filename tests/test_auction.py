@@ -63,3 +63,35 @@ def test_auction_batched():
             ours = _total_cost(costs[l, b], out[l, b], n)
             assert len(set(out[l, b, :n].tolist())) == n
             assert ours <= opt + 1e-2
+
+
+def test_auction_exhaustion_never_returns_negative():
+    """max_iters exhaustion must not leak -1 (would wrap to the last query in
+    criterion.level_losses) — the greedy completion pass guarantees a valid
+    duplicate-free assignment."""
+    rng = np.random.RandomState(3)
+    q, t = 40, 12
+    cost = rng.rand(q, t) * 100
+    valid = np.ones(t, bool)
+    # max_iters=1: one bidding round cannot assign 12 targets
+    match = np.asarray(auction_lsap(jnp.asarray(cost), jnp.asarray(valid),
+                                    max_iters=1))
+    assert (match >= 0).all() and (match < q).all()
+    assert len(set(match.tolist())) == t
+
+
+@pytest.mark.parametrize("spread", [1e-6, 1.0, 1e8])
+def test_auction_adversarial_cost_spreads(spread):
+    rng = np.random.RandomState(4)
+    q, t = 60, 15
+    cost = rng.rand(q, t) * spread
+    # adversarial: near-ties plus one dominant column
+    cost[:, 0] = spread
+    cost[7, 0] = 0.0
+    match = np.asarray(auction_lsap(jnp.asarray(cost)))
+    assert (match >= 0).all()
+    assert len(set(match.tolist())) == t
+    rows, cols = linear_sum_assignment(cost)
+    opt = cost[rows, cols].sum()
+    ours = _total_cost(cost, match, t)
+    assert ours <= opt + 1e-3 * max(1.0, abs(opt))

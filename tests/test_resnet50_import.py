@@ -67,3 +67,51 @@ def test_resnet50_import_mapping_and_forward():
     out = model.apply({"params": params, "batch_stats": bs}, x)
     assert out.shape == (1, 2, 2, 2048)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pretrained_resnet50_file_into_cltr(tmp_path):
+    """cltr_config.pretrained_resnet50 capability: a torch-saved torchvision
+    state_dict loads into the ConditionalDETR backbone subtree (the TPU path
+    for ref CLTR/backbone.py:73 pretrained=True)."""
+    import torch
+
+    from unet_torch_tpu.ckpt.torch_import import (
+        load_pretrained_resnet50_into_cltr,
+    )
+    from unet_torch_tpu.models.cltr.model import ConditionalDETR
+
+    rng = np.random.RandomState(1)
+    sd = synthetic_resnet50_state_dict(rng)
+    path = str(tmp_path / "resnet50.pt")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, path)
+
+    model = ConditionalDETR(num_queries=4, hidden_dim=32, nheads=4,
+                            enc_layers=1, dec_layers=1, dim_feedforward=32)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.key(0), x, train=False)
+    params, bs = load_pretrained_resnet50_into_cltr(
+        path, variables["params"], variables.get("batch_stats", {}))
+    np.testing.assert_array_equal(
+        params["backbone"]["conv1"]["kernel"],
+        sd["conv1.weight"].transpose(2, 3, 1, 0))
+    np.testing.assert_array_equal(
+        bs["backbone"]["layer4_block2"]["bn3"]["running_var"],
+        sd["layer4.2.bn3.running_var"])
+    out = model.apply({"params": params, "batch_stats": bs}, x, train=False)
+    assert np.isfinite(np.asarray(out["pred_logits"])).all()
+
+
+def test_resnet50_checkpoint_prefix_stripping(tmp_path):
+    """DETR-style 'backbone.0.body.' prefixed checkpoints load too."""
+    import torch
+
+    from unet_torch_tpu.ckpt.torch_import import load_resnet50_checkpoint
+
+    rng = np.random.RandomState(2)
+    sd = synthetic_resnet50_state_dict(rng)
+    path = str(tmp_path / "wrapped.pt")
+    torch.save({f"backbone.0.body.{k}": torch.from_numpy(v)
+                for k, v in sd.items()}, path)
+    loaded = load_resnet50_checkpoint(path)
+    assert set(loaded) == set(sd)
+    np.testing.assert_array_equal(loaded["conv1.weight"], sd["conv1.weight"])

@@ -78,6 +78,47 @@ def load_torchvision_resnet50(state_dict, params, batch_stats,
     return params, batch_stats
 
 
+def load_resnet50_checkpoint(path: str) -> dict:
+    """Read a torchvision-resnet50 state_dict from disk: a torch.save file
+    (what `torchvision.models.resnet50(pretrained=True)` users export) or an
+    .npz archive.  Keys with a DETR-style "backbone.0.body." prefix are
+    stripped so checkpoints saved from the reference's wrapped backbone
+    (/root/reference/CLTR/backbone.py:73,100) load too."""
+    if path.endswith(".npz"):
+        sd = dict(np.load(path))
+    else:
+        import torch
+
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        if hasattr(obj, "state_dict"):
+            obj = obj.state_dict()
+        if isinstance(obj, dict) and "state_dict" in obj and isinstance(
+                obj["state_dict"], dict):
+            obj = obj["state_dict"]
+        sd = {k: v.detach().numpy() if hasattr(v, "detach") else
+              np.asarray(v) for k, v in obj.items()}
+    for prefix in ("backbone.0.body.", "body.", "module."):
+        if any(k.startswith(prefix) for k in sd):
+            sd = {k[len(prefix):]: v for k, v in sd.items()
+                  if k.startswith(prefix)}
+    return sd
+
+
+def load_pretrained_resnet50_into_cltr(path: str, params, batch_stats):
+    """Install pretrained resnet50 weights under the ConditionalDETR
+    'backbone' subtree (the capability of ref CLTR/backbone.py:73
+    `pretrained=True`, done as an explicit checkpoint path — no network
+    downloads on TPU pods)."""
+    sd = load_resnet50_checkpoint(path)
+    params = dict(params)
+    batch_stats = dict(batch_stats)
+    bp, bb = load_torchvision_resnet50(sd, params["backbone"],
+                                       batch_stats.get("backbone", {}))
+    params["backbone"] = bp
+    batch_stats["backbone"] = bb
+    return params, batch_stats
+
+
 def load_torch_transunet(state_dict, params, batch_stats):
     """Map a reference TransUnet (vit_seg_modeling.VisionTransformer)
     state_dict into our flax trees.  Verified to pixel-level output parity in

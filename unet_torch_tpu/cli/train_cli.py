@@ -126,6 +126,10 @@ def build_datasets_and_model(cfg: Config, seed: int):
         cltr_args = dict(cfg.raw.get("cltr_config", {}))
         model, criterion, _post = build_cltr(cltr_args)
         build_datasets_and_model.last_cltr_criterion = criterion
+        # ref builds torchvision resnet50 pretrained=True (CLTR/backbone.py:73);
+        # here an explicit checkpoint path keys the same capability
+        build_datasets_and_model.last_cltr_pretrained = cltr_args.get(
+            "pretrained_resnet50")
     else:
         model = build_model(mt, n_channels=m.channel, n_classes=m.num_class,
                             base=m.initial_filter_size, dropout=m.dropout,
@@ -185,6 +189,8 @@ def run_training(cfg: Config):
         if cfg.model.model_type == "CLTR":
             trainer.criterion = getattr(build_datasets_and_model,
                                         "last_cltr_criterion", None)
+            trainer.pretrained_resnet50 = getattr(
+                build_datasets_and_model, "last_cltr_pretrained", None)
         npz_path = getattr(build_datasets_and_model, "pretrained_npz", None)
         if npz_path and cfg.model.model_type in ("TransUnet", "regression_t",
                                                  "multi_task_regTU"):

@@ -38,10 +38,31 @@ from unet_torch_tpu.data.io import (
 )
 
 
+def _nbytes(val) -> int:
+    if isinstance(val, np.ndarray):
+        return int(val.nbytes)
+    if isinstance(val, (tuple, list)):
+        return sum(_nbytes(v) for v in val)
+    if isinstance(val, dict):
+        return sum(_nbytes(v) for v in val.values())
+    return 64  # scalars / None
+
+
 class _Base:
+    """Shared decode/normalise plumbing plus a bounded in-memory sample cache.
+
+    The reference re-decodes and re-zooms every image every epoch
+    (DataLoader.py:346-360 run inside __getitem__).  On a TPU host the input
+    pipeline must outrun the chip (~77 img/s at 512², vs single-digit img/s
+    for cv2-decode + order-3 scipy zoom on one vCPU), so decoded (and, when
+    augmentation is off, fully preprocessed) samples are memoised up to
+    ``cache_bytes``.  Augmented samples are never cached — only the
+    deterministic work feeding them.
+    """
+
     def __init__(self, data_path, ch, anydepth=False, augmentation=False,
                  input_size=(512, 512), seed=0, normalizer=None,
-                 exclude=("_label", "_gt_dot")):
+                 exclude=("_label", "_gt_dot"), cache_bytes=2 << 30):
         self.image_list = get_image_list(data_path, exclude=exclude)
         self.channel = ch
         self.anydepth = anydepth
@@ -49,6 +70,9 @@ class _Base:
         self.height, self.width = input_size
         self.rng = np.random.RandomState(seed)
         self.normalizer = normalizer
+        self._cache = {}
+        self._cache_used = 0
+        self._cache_limit = int(cache_bytes)
         if ch == -2 and normalizer is None:
             raise ValueError("channel=-2 needs a fitted MacenkoNormalizer "
                              "(reference fits on a hardcoded tile, "
@@ -56,6 +80,21 @@ class _Base:
 
     def __len__(self):
         return len(self.image_list)
+
+    def _cached(self, key, fn):
+        """Memoise fn() under key, bounded by the byte budget.  Thread-safe
+        enough for the prefetch/worker threads (worst case: duplicate work)."""
+        if self._cache_limit <= 0:
+            return fn()
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        val = fn()
+        size = _nbytes(val)
+        if self._cache_used + size <= self._cache_limit:
+            self._cache[key] = val
+            self._cache_used += size
+        return val
 
     def _decode(self, img_path):
         return decode_image(img_path, self.channel, self.anydepth,
@@ -77,13 +116,26 @@ class DataBinary(_Base):
         super().__init__(*args, **kw)
         self.return_gt_dot = return_gt_dot
 
-    def __getitem__(self, idx):
+    def _raw(self, idx):
         img_path = self.image_list[idx]
-        image = self._decode(img_path)
-        import cv2
 
-        label = cv2.imread(img_path.replace(".png", "_label_mc.png"), 0)
-        gt_dot = cv2.imread(img_path.replace(".png", "_gt_dot.png"), 0)
+        def load():
+            import cv2
+
+            image = self._decode(img_path)
+            label = cv2.imread(img_path.replace(".png", "_label_mc.png"), 0)
+            gt_dot = cv2.imread(img_path.replace(".png", "_gt_dot.png"), 0)
+            return image, label, gt_dot
+
+        return self._cached(("raw", idx), load)
+
+    def __getitem__(self, idx):
+        if not self.augmentation:
+            return self._cached(("final", idx), lambda: self._build(idx))
+        return self._build(idx)
+
+    def _build(self, idx):
+        image, label, gt_dot = self._raw(idx)
         if self.augmentation:
             image, label, gt_dot = basic_geometric([image, label, gt_dot],
                                                    self.rng)
@@ -101,10 +153,20 @@ class DataReg(_Base):
     """Density regression, labels scaled x200 (ref Data_Reg :230-420)."""
 
     def __getitem__(self, idx):
+        if not self.augmentation:
+            return self._cached(("final", idx), lambda: self._build(idx))
+        return self._build(idx)
+
+    def _build(self, idx):
         img_path = self.image_list[idx]
-        image = self._decode(img_path)
-        label = np.load(img_path[: img_path.rfind(".")] + "_label_reg.npy")
-        label = label.astype(np.float32)
+
+        def load():
+            image = self._decode(img_path)
+            label = np.load(img_path[: img_path.rfind(".")] +
+                            "_label_reg.npy").astype(np.float32)
+            return image, label
+
+        image, label = self._cached(("raw", idx), load)
         if self.augmentation:
             image, label = basic_geometric([image, label], self.rng)
         image = zoom_resize(image, self.height, self.width, order=3)
@@ -119,11 +181,22 @@ class DataRegMT(_Base):
     p=0.75 (ref Data_Reg_MT :422-615, aug at :477-486)."""
 
     def __getitem__(self, idx):
+        if not self.augmentation:
+            return self._cached(("final", idx), lambda: self._build(idx))
+        return self._build(idx)
+
+    def _build(self, idx):
         img_path = self.image_list[idx]
-        image = self._decode(img_path)
-        stem = img_path[: img_path.rfind(".")]
-        immune = np.load(stem + "_label_immune_reg.npy").astype(np.float32)
-        other = np.load(stem + "_label_other_reg.npy").astype(np.float32)
+
+        def load():
+            image = self._decode(img_path)
+            stem = img_path[: img_path.rfind(".")]
+            immune = np.load(stem + "_label_immune_reg.npy").astype(
+                np.float32)
+            other = np.load(stem + "_label_other_reg.npy").astype(np.float32)
+            return image, immune, other
+
+        image, immune, other = self._cached(("raw", idx), load)
         if self.augmentation and self.rng.random_sample() > 0.25:
             image, (immune, other) = pathology_augment_hm(
                 image, [immune, other], self.rng)
@@ -139,13 +212,23 @@ class DataRegBinary(_Base):
     reference class references undefined label1/label2 — fixed here)."""
 
     def __getitem__(self, idx):
-        img_path = self.image_list[idx]
-        image = self._decode(img_path)
-        import cv2
+        if not self.augmentation:
+            return self._cached(("final", idx), lambda: self._build(idx))
+        return self._build(idx)
 
-        mask = cv2.imread(img_path.replace(".png", "_label.png"), 0)
-        reg = np.load(img_path[: img_path.rfind(".")] + "_label_reg.npy")
-        reg = reg.astype(np.float32)
+    def _build(self, idx):
+        img_path = self.image_list[idx]
+
+        def load():
+            import cv2
+
+            image = self._decode(img_path)
+            mask = cv2.imread(img_path.replace(".png", "_label.png"), 0)
+            reg = np.load(img_path[: img_path.rfind(".")] +
+                          "_label_reg.npy").astype(np.float32)
+            return image, mask, reg
+
+        image, mask, reg = self._cached(("raw", idx), load)
         if self.augmentation:
             image, mask, reg = basic_geometric([image, mask, reg], self.rng)
         image = zoom_resize(image, self.height, self.width, order=3)
@@ -174,11 +257,18 @@ class DataRandomCrop(_Base):
 
     def __getitem__(self, idx):
         img_path = self.image_list[idx]
-        image = self._decode(img_path)
-        import cv2
 
-        label = cv2.imread(img_path.replace(".png", "_label.png"), 0)
-        gt_dot = cv2.imread(img_path.replace(".png", "_gt_dot.png"), 0)
+        def load():
+            import cv2
+
+            image = self._decode(img_path)
+            label = cv2.imread(img_path.replace(".png", "_label.png"), 0)
+            gt_dot = cv2.imread(img_path.replace(".png", "_gt_dot.png"), 0)
+            return image, label, gt_dot
+
+        # decode once per image; crops/tiles are cheap views of the cached
+        # full-resolution arrays (the reference re-decodes per crop)
+        image, label, gt_dot = self._cached(("raw", idx), load)
 
         if self.train:
             image, label, gt_dot = self._crop(image, label, gt_dot)
@@ -260,13 +350,26 @@ class DataPointReg(_Base):
 
     def __getitem__(self, idx):
         img_path = self.image_list[idx]
-        image = self._decode(img_path)
-        img_name = os.path.basename(img_path).split(".png")[0]
-        gt_dot = self.create_label_coordinates(self.point_files[img_name])
+
+        def load():
+            image = self._decode(img_path)
+            img_name = os.path.basename(img_path).split(".png")[0]
+            gt_dot = self.create_label_coordinates(
+                self.point_files[img_name])
+            return image, gt_dot
 
         if self.augmentation:
+            image, gt_dot = self._cached(("raw", idx), load)
             image, gt_dot = basic_geometric([image, gt_dot], self.rng)
-        image = self._finalize_image(image)
+            image = self._finalize_image(image)
+        else:
+            # deterministic full-image preprocess -> cache it finalized;
+            # the random train crop below stays per-call
+            def prep():
+                image, gt_dot = load()
+                return self._finalize_image(image), gt_dot
+
+            image, gt_dot = self._cached(("prep", idx), prep)
 
         if self.train:
             r = self.rng.randint(0, image.shape[0] - self.crop_size + 1)

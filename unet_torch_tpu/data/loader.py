@@ -38,14 +38,23 @@ class NumpyLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, drop_last: bool = False, prefetch: int = 2,
-                 collate_fn=None):
+                 collate_fn=None, num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.collate_fn = collate_fn or _stack
+        self.num_workers = num_workers
         self._rng = np.random.RandomState(seed)
+
+    def _fetch(self, chunk, executor=None):
+        if executor is not None:
+            samples = list(executor.map(self.dataset.__getitem__,
+                                        [int(j) for j in chunk]))
+        else:
+            samples = [self.dataset[int(j)] for j in chunk]
+        return self.collate_fn(samples)
 
     def __len__(self):
         n = len(self.dataset)
@@ -64,32 +73,44 @@ class NumpyLoader:
             yield chunk
 
     def __iter__(self) -> Iterator:
-        if self.prefetch <= 0:
-            for chunk in self._index_batches():
-                yield self.collate_fn([self.dataset[int(j)] for j in chunk])
-            return
+        executor = None
+        if self.num_workers and self.num_workers > 1:
+            # sample-level thread pool: cv2/scipy/np release the GIL in their
+            # hot loops, so threads overlap decode work (the reference reads
+            # `num_workers: 20` from config but never passes it —
+            # train.py:155,330-334; here it is honoured)
+            from concurrent.futures import ThreadPoolExecutor
 
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        sentinel = object()
-        error = []
-
-        def producer():
-            try:
+            executor = ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
+            if self.prefetch <= 0:
                 for chunk in self._index_batches():
-                    q.put(self.collate_fn(
-                        [self.dataset[int(j)] for j in chunk]))
-            except BaseException as e:  # surface worker errors to the consumer
-                error.append(e)
-            finally:
-                q.put(sentinel)
+                    yield self._fetch(chunk, executor)
+                return
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
-        if error:
-            raise error[0]
+            q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+            sentinel = object()
+            error = []
+
+            def producer():
+                try:
+                    for chunk in self._index_batches():
+                        q.put(self._fetch(chunk, executor))
+                except BaseException as e:  # surface errors to the consumer
+                    error.append(e)
+                finally:
+                    q.put(sentinel)
+
+            t = threading.Thread(target=producer, daemon=True)
+            t.start()
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+            t.join()
+            if error:
+                raise error[0]
+        finally:
+            if executor is not None:
+                executor.shutdown(wait=False)

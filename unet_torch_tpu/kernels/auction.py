@@ -95,6 +95,23 @@ def auction_lsap(cost, valid=None, max_iters: int = 200000):
     eps = spread * 1e-4
     _price, _owner, match = _auction_phase(benefit, valid, jnp.zeros((Q,)),
                                            eps, max_iters)
+    # Safety net: if max_iters exhausted with valid targets unassigned, a -1
+    # would wrap to the last query downstream (criterion.py level_losses) — a
+    # silent mis-match.  Complete greedily instead: each leftover target takes
+    # its best-value unowned query (sequential over T, trivial VPU work;
+    # normally a no-op since the auction converges).
+    unmatched = (match < 0) & valid
+    owned_q = jnp.zeros((Q,), bool).at[jnp.where(match >= 0, match, Q - 1)
+                                       ].max(match >= 0)
+
+    def complete(owned, t):
+        need = unmatched[t]
+        vals = jnp.where(owned, _NEG, benefit[t])
+        q = jnp.argmax(vals).astype(jnp.int32)
+        owned = owned.at[q].set(owned[q] | need)
+        return owned, jnp.where(need, q, match[t])
+
+    _owned, match = jax.lax.scan(complete, owned_q, jnp.arange(T))
     return jnp.where(valid, match, 0).astype(jnp.int32)
 
 

@@ -19,6 +19,7 @@ Reference blocks:
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax
@@ -27,6 +28,32 @@ from flax import linen as nn
 
 # torch's kaiming_normal_ default (fan_in, gain=sqrt(2)) used at Model.py:167-169.
 kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+def torch_uniform_init(fan_in: int):
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — torch's default Conv bias init and,
+    equivalently, kaiming_uniform_(a=sqrt(5)) for weights (torch _ConvNd
+    reset_parameters).  The reference's weights_init (Model.py:167-169) touches
+    only nn.Conv2d *weights*, so ConvTranspose2d kernels and every bias keep
+    these torch defaults — matched here for trained-outcome parity."""
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_convt_kernel_init(key, shape, dtype=jnp.float32):
+    """torch ConvTranspose2d default weight init.
+
+    torch weight shape is (in, out, kH, kW) and _calculate_fan_in_and_fan_out
+    takes dim 1 as the input-fmap count, so fan_in = out_channels * kH * kW;
+    kaiming_uniform_(a=sqrt(5)) then gives bound = 1/sqrt(fan_in).  Flax kernel
+    shape is (kH, kW, in, out) -> fan_in = shape[-1] * prod(spatial)."""
+    fan_in = shape[-1] * math.prod(shape[:-2])
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
 class DoubleConv(nn.Module):
@@ -90,7 +117,9 @@ class Up(nn.Module):
     def __call__(self, x1, x2, *, train: bool):
         c = x1.shape[-1]
         x1 = nn.ConvTranspose(
-            c // 2, (2, 2), strides=(2, 2), dtype=self.dtype
+            c // 2, (2, 2), strides=(2, 2), dtype=self.dtype,
+            kernel_init=torch_convt_kernel_init,
+            bias_init=torch_uniform_init((c // 2) * 4),
         )(x1)
         # Pad x1 spatially to match the skip feature (reference pads with F.pad,
         # split as [d//2, d - d//2] per axis: Model.py:69-73).
@@ -116,7 +145,8 @@ class OutConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         return nn.Conv(
-            self.features, (1, 1), kernel_init=kaiming_normal, dtype=self.dtype
+            self.features, (1, 1), kernel_init=kaiming_normal,
+            bias_init=torch_uniform_init(x.shape[-1]), dtype=self.dtype
         )(x)
 
 
@@ -133,7 +163,9 @@ class AttentionGate(nn.Module):
     @nn.compact
     def __call__(self, q, x, *, train: bool):
         cq = q.shape[-1]
-        q = nn.ConvTranspose(cq, (2, 2), strides=(2, 2), dtype=self.dtype)(q)
+        q = nn.ConvTranspose(cq, (2, 2), strides=(2, 2), dtype=self.dtype,
+                             kernel_init=torch_convt_kernel_init,
+                             bias_init=torch_uniform_init(cq * 4))(q)
 
         def proj(v, feats, name):
             v = nn.Conv(
@@ -141,6 +173,7 @@ class AttentionGate(nn.Module):
                 (1, 1),
                 use_bias=True,
                 kernel_init=kaiming_normal,
+                bias_init=torch_uniform_init(v.shape[-1]),
                 dtype=self.dtype,
                 name=f"{name}_conv",
             )(v)

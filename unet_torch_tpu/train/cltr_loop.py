@@ -84,8 +84,19 @@ def cltr_train_loop(trainer):
             if trainer.state is None:
                 variables = trainer.model.init(
                     jax.random.key(0), x[:1], train=False)
-                trainer.state = TrainState.create(
-                    variables["params"], variables.get("batch_stats", {}), tx)
+                params = variables["params"]
+                bstats = variables.get("batch_stats", {})
+                pretrained = getattr(trainer, "pretrained_resnet50", None)
+                if pretrained:
+                    from unet_torch_tpu.ckpt.torch_import import (
+                        load_pretrained_resnet50_into_cltr,
+                    )
+
+                    params, bstats = load_pretrained_resnet50_into_cltr(
+                        pretrained, params, bstats)
+                    trainer._log(
+                        f"loaded pretrained resnet50 from {pretrained}")
+                trainer.state = TrainState.create(params, bstats, tx)
             max_pts = _bucket(max((len(t["labels"]) for t in targets),
                                   default=1))
             labels, points, mpoints, valid = pad_targets(
