@@ -1,45 +1,66 @@
 #!/usr/bin/env python
-"""Benchmark: UNet-64 512x512 segmentation training throughput on one TPU chip
-vs the PyTorch reference on CPU (BASELINE.json north star).
+"""Benchmark suite: training throughput of every model family on one TPU chip
+vs the PyTorch reference executed in place on CPU (BASELINE.json north star).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout:
+  {"metric", "value", "unit", "vs_baseline",   # headline: UNet-64 bf16 b16
+   "suite": [one entry per config with its own torch-CPU baseline]}
 
-The PyTorch-CPU baseline is measured once by importing the reference's own
-Model.py from /root/reference (run, not copied) and timed on identical shapes;
-the result is cached in BASELINE_MEASURED.json.
+torch-CPU baselines are measured once and cached in BASELINE_MEASURED.json
+(keyed per config).  Progress goes to stderr.  Select configs with
+BENCH_CONFIGS=name1,name2 (default: all).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
-BATCH = 16
 SIZE = 512
 N_CLASSES = 3
 CHANNELS = 3
-STEPS = 20
-BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "BASELINE_MEASURED.json")
+HERE = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(HERE, "BASELINE_MEASURED.json")
 
 
-def measure_torch_cpu_baseline(steps: int = 2, batch: int = 2) -> float:
-    """images/sec of the reference UNet training step on CPU torch."""
-    import sys
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# --------------------------------------------------------------------------
+# torch-CPU baselines (reference code run in place from /root/reference)
+# --------------------------------------------------------------------------
+
+def _torch_setup():
     import types
 
-    import numpy as np
+    sys.path.insert(0, os.path.join(HERE, "benchmarks"))
+    import torchvision_stub
+
+    torchvision_stub.install()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
     import torch
 
-    # Model.py imports torchvision but never uses it; the module is absent in
-    # this image, so satisfy the import with an empty stub.
-    sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
-    sys.path.insert(0, "/root/reference")
-    from Model import UNet as TorchUNet  # reference model, executed in place
+    torch.set_num_threads(os.cpu_count() or 8)
+    return torch
+
+
+def _time_torch_steps(step_fn, steps):
+    step_fn()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        step_fn()
+    return time.perf_counter() - t0
+
+
+def baseline_unet_ce(steps=2, batch=2):
+    torch = _torch_setup()
+    from Model import UNet as TorchUNet
 
     torch.manual_seed(0)
-    torch.set_num_threads(os.cpu_count() or 8)
     model = TorchUNet(CHANNELS, N_CLASSES, 64, usa_cuda=False)
     model.train()
     opt = torch.optim.Adam(model.parameters(), lr=1e-3)
@@ -47,82 +68,386 @@ def measure_torch_cpu_baseline(steps: int = 2, batch: int = 2) -> float:
     x = torch.randn(batch, CHANNELS, SIZE, SIZE)
     y = torch.randint(0, N_CLASSES, (batch, SIZE, SIZE))
 
-    # one warmup step
-    opt.zero_grad()
-    ce(model(x), y).backward()
-    opt.step()
-
-    t0 = time.perf_counter()
-    for _ in range(steps):
+    def step():
         opt.zero_grad()
         loss = ce(model(x), y)
         loss.backward()
         opt.step()
-    dt = time.perf_counter() - t0
+
+    dt = _time_torch_steps(step, steps)
     return steps * batch / dt
 
 
-def get_baseline() -> float:
+def baseline_unet_mc(steps=2, batch=2):
+    torch = _torch_setup()
+    import loss as ref_loss
+    from Model import UNet as TorchUNet
+
+    ref_loss.CLASS_NUMBER = N_CLASSES
+    torch.manual_seed(0)
+    model = TorchUNet(CHANNELS, N_CLASSES, 64, usa_cuda=False)
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    x = torch.randn(batch, CHANNELS, SIZE, SIZE)
+    y = torch.randint(0, N_CLASSES, (batch, SIZE, SIZE)).float()
+
+    def step():
+        opt.zero_grad()
+        ref_loss.calc_loss(model(x), y, loss_type="dice_bce_mc").backward()
+        opt.step()
+
+    dt = _time_torch_steps(step, steps)
+    return steps * batch / dt
+
+
+def baseline_multitask(steps=2, batch=2):
+    torch = _torch_setup()
+    from Model import UNet_multitask
+
+    torch.manual_seed(0)
+    model = UNet_multitask(CHANNELS, 1, 64, usa_cuda=False)
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    mse = torch.nn.MSELoss()
+    x = torch.randn(batch, CHANNELS, SIZE, SIZE)
+    y1 = torch.rand(batch, 1, SIZE, SIZE)
+    y2 = torch.rand(batch, 1, SIZE, SIZE)
+
+    def step():
+        opt.zero_grad()
+        o1, o2 = model(x)
+        (mse(torch.relu(o1), y1) + mse(torch.relu(o2), y2)).backward()
+        opt.step()
+
+    dt = _time_torch_steps(step, steps)
+    return steps * batch / dt
+
+
+def baseline_transunet(steps=1, batch=1):
+    torch = _torch_setup()
+    import loss as ref_loss
+    from TransUnet.vit_seg_modeling import CONFIGS, VisionTransformer
+
+    ref_loss.CLASS_NUMBER = N_CLASSES
+    torch.manual_seed(0)
+    import copy
+
+    cfg = copy.deepcopy(CONFIGS["R50-ViT-B_16"])
+    cfg.n_classes = N_CLASSES
+    cfg.n_skip = 3
+    cfg.patches.grid = (SIZE // 16, SIZE // 16)
+    model = VisionTransformer(cfg, img_size=SIZE, num_classes=N_CLASSES)
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    x = torch.randn(batch, CHANNELS, SIZE, SIZE)
+    y = torch.randint(0, N_CLASSES, (batch, SIZE, SIZE)).float()
+
+    def step():
+        opt.zero_grad()
+        ref_loss.calc_loss(model(x), y, loss_type="dice_bce_mc").backward()
+        opt.step()
+
+    dt = _time_torch_steps(step, steps)
+    return steps * batch / dt
+
+
+def baseline_cltr(steps=1, batch=1):
+    torch = _torch_setup()
+    import yaml
+
+    from CLTR.build_model import buildCLTR
+    from CLTR.misc import NestedTensor
+
+    with open("/root/reference/CLTR/CLTRconfig.yml") as f:
+        args = yaml.safe_load(f)
+    torch.manual_seed(0)
+    model, criterion, _ = buildCLTR(args)
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+    x = torch.randn(batch, 3, 256, 256)
+    targets = [{"labels": torch.ones(24, dtype=torch.long),
+                "points_macher": torch.rand(24, 3),
+                "points": torch.rand(24, 3)} for _ in range(batch)]
+
+    def step():
+        opt.zero_grad()
+        out = model(NestedTensor(x, torch.zeros(batch, 256, 256,
+                                                dtype=torch.bool)))
+        loss_dict = criterion(out, targets)
+        sum(loss_dict[k] * criterion.weight_dict[k]
+            for k in loss_dict if k in criterion.weight_dict).backward()
+        opt.step()
+
+    dt = _time_torch_steps(step, steps)
+    return steps * batch / dt
+
+
+BASELINES = {
+    "unet_ce": baseline_unet_ce,
+    "unet_mc": baseline_unet_mc,
+    "multitask": baseline_multitask,
+    "transunet": baseline_transunet,
+    "cltr": baseline_cltr,
+}
+
+
+def get_baseline(key):
+    cache = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return json.load(f)["torch_cpu_img_per_sec"]
-    ips = measure_torch_cpu_baseline()
+            cache = json.load(f)
+    # legacy r1 key
+    if key == "unet_ce" and "torch_cpu_img_per_sec" in cache and \
+            "unet_ce" not in cache:
+        cache["unet_ce"] = cache["torch_cpu_img_per_sec"]
+    if key in cache:
+        return cache[key]
+    if key not in BASELINES:
+        return None
+    log(f"measuring torch-CPU baseline {key} (once, cached)...")
+    ips = BASELINES[key]()
+    cache[key] = ips
     with open(BASELINE_CACHE, "w") as f:
-        json.dump({"torch_cpu_img_per_sec": ips,
-                   "config": {"batch": 2, "size": SIZE,
-                              "model": "UNet-64", "loss": "CE"}}, f)
+        json.dump(cache, f, indent=2)
+    log(f"  {key}: {ips:.4f} img/s")
     return ips
 
 
-def measure_tpu() -> float:
+# --------------------------------------------------------------------------
+# TPU measurements
+# --------------------------------------------------------------------------
+
+def _run_tpu_steps(train_fn, state, args, steps):
+    """Common warmup + timed loop; float() forces a real sync through the
+    donation chain (block_until_ready does not flush the axon async queue)."""
+    for _ in range(2):
+        state, loss = train_fn(state, *args)
+        float(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss = train_fn(state, *args)
+    float(loss)
+    return time.perf_counter() - t0
+
+
+def _make_unet_state(batch, dtype, base=64, remat=False, n_classes=N_CLASSES,
+                     loss="CE"):
+    import numpy as np
+
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from unet_torch_tpu.models.unet import UNet
     from unet_torch_tpu.train.optim import make_optimizer
     from unet_torch_tpu.train.state import TrainState
     from unet_torch_tpu.train.steps import make_single_steps
 
-    # bf16 compute / f32 params+stats: the MXU-native mixed-precision policy
-    model = UNet(n_channels=CHANNELS, n_classes=N_CLASSES, base=64,
-                 dtype=jnp.bfloat16)
+    model = UNet(CHANNELS, n_classes, base, remat=remat, dtype=dtype)
     tx = make_optimizer("Adam", 1e-3, 0.0)
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(BATCH, SIZE, SIZE, CHANNELS), jnp.float32)
-    y = jnp.asarray(rng.randint(0, N_CLASSES, (BATCH, SIZE, SIZE)),
+    x = jnp.asarray(rng.randn(batch, SIZE, SIZE, CHANNELS), jnp.float32)
+    y = jnp.asarray(rng.randint(0, n_classes, (batch, SIZE, SIZE)),
                     jnp.float32)
-
     variables = model.init(jax.random.key(0), x[:1], train=False)
     state = TrainState.create(variables["params"],
                               variables.get("batch_stats", {}), tx)
-    train_step, _ = make_single_steps(model, tx, "CE", "CE", N_CLASSES)
+    step, _ = make_single_steps(model, tx, loss, loss, n_classes)
+    return step, state, (x, y, 1e-3, jax.random.key(1))
 
+
+def tpu_unet(batch=16, dtype_name="bfloat16", remat=False, loss="CE",
+             steps=20):
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    step, state, args = _make_unet_state(batch, dtype, remat=remat, loss=loss)
+    dt = _run_tpu_steps(step, state, args, steps)
+    return steps * batch / dt
+
+
+def tpu_multitask(batch=8, steps=10):
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from unet_torch_tpu.models.unet import UNetMultitask
+    from unet_torch_tpu.train.optim import make_optimizer
+    from unet_torch_tpu.train.state import TrainState
+    from unet_torch_tpu.train.steps import make_multitask_steps
+
+    model = UNetMultitask(CHANNELS, 1, 64, dtype=jnp.bfloat16)
+    tx = make_optimizer("Adam", 1e-3, 0.0)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, SIZE, SIZE, CHANNELS), jnp.float32)
+    y1 = jnp.asarray(rng.rand(batch, SIZE, SIZE), jnp.float32)
+    y2 = jnp.asarray(rng.rand(batch, SIZE, SIZE), jnp.float32)
+    variables = model.init(jax.random.key(0), x[:1], train=False)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    step, _ = make_multitask_steps(model, tx, "mse", 1, combine="sum")
     key = jax.random.key(1)
-    # warmup/compile (two calls: the donated-buffer path can retrace once)
-    for _ in range(2):
-        state, loss = train_step(state, x, y, 1e-3, key)
-        float(loss)
+    no_ratio = jnp.asarray(False)
 
+    def fn(state, *a):
+        state, loss, _l1, _l2 = step(state, *a)
+        return state, loss
+
+    dt = _run_tpu_steps(fn, state, (x, y1, y2, 1e-3, key, no_ratio), steps)
+    return steps * batch / dt
+
+
+def tpu_transunet(batch=4, steps=10):
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from unet_torch_tpu.models.transunet import build_transunet
+    from unet_torch_tpu.train.optim import make_optimizer
+    from unet_torch_tpu.train.state import TrainState
+    from unet_torch_tpu.train.steps import make_single_steps
+
+    model = build_transunet("TransUnet", img_size=SIZE, n_channels=CHANNELS,
+                            num_classes=N_CLASSES, dtype=jnp.bfloat16)
+    tx = make_optimizer("Adam", 1e-3, 0.0)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, SIZE, SIZE, CHANNELS), jnp.float32)
+    y = jnp.asarray(rng.randint(0, N_CLASSES, (batch, SIZE, SIZE)),
+                    jnp.float32)
+    variables = model.init(jax.random.key(0), x[:1], train=False)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    step, _ = make_single_steps(model, tx, "dice_bce_mc", "dice_bce_mc",
+                                N_CLASSES)
+    dt = _run_tpu_steps(step, state, (x, y, 1e-3, jax.random.key(1)), steps)
+    return steps * batch / dt
+
+
+def tpu_cltr(batch=4, steps=10):
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from unet_torch_tpu.models.cltr import build_cltr
+    from unet_torch_tpu.models.cltr.criterion import pad_targets
+    from unet_torch_tpu.train.cltr_steps import make_cltr_fused_step
+    from unet_torch_tpu.train.optim import make_optimizer
+    from unet_torch_tpu.train.state import TrainState
+
+    model, criterion, _ = build_cltr({})
+    tx = make_optimizer("Adam", 1e-4, 0.0)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, 256, 256, 3), jnp.float32)
+    targets = [{"labels": np.ones(24, np.int64),
+                "points_macher": rng.rand(24, 3).astype(np.float32),
+                "points": rng.rand(24, 3).astype(np.float32)}
+               for _ in range(batch)]
+    labels, points, _mp, valid = pad_targets(targets, 32, 3)
+    variables = model.init(jax.random.key(0), x[:1], train=False)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    fused = make_cltr_fused_step(model, criterion, tx)
+
+    def fn(state, *a):
+        state, loss, _ = fused(state, *a)
+        return state, loss
+
+    dt = _run_tpu_steps(fn, state, (x, jnp.asarray(labels),
+                                    jnp.asarray(points), jnp.asarray(valid),
+                                    1e-4, jax.random.key(1)), steps)
+    return steps * batch / dt
+
+
+def tpu_topo(batch=8, steps=5):
+    """Two-phase topo step (jit forward -> host PH pairing -> jit update) —
+    the honest number includes the host pairing cost."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from unet_torch_tpu.models.unet import UNet
+    from unet_torch_tpu.train.optim import make_optimizer
+    from unet_torch_tpu.train.state import TrainState
+    from unet_torch_tpu.train.steps import make_topo_steps
+
+    model = UNet(CHANNELS, 1, 64, dtype=jnp.bfloat16)
+    tx = make_optimizer("Adam", 1e-3, 0.0)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, SIZE, SIZE, CHANNELS), jnp.float32)
+    y = jnp.asarray((rng.rand(batch, SIZE, SIZE) > 0.7), jnp.float32)
+    dots = jnp.asarray(rng.rand(batch, SIZE, SIZE) > 0.999, jnp.float32)
+    variables = model.init(jax.random.key(0), x[:1], train=False)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    (_w, _we), (topo_step, _te) = make_topo_steps(model, tx, "TopoLoss", 1)
+    key = jax.random.key(1)
+    for _ in range(2):
+        state, loss = topo_step(state, x, y, dots, 1e-3, key)
+        float(loss)
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, loss = train_step(state, x, y, 1e-3, key)
-    # NB: float() forces a real device sync through the donation chain;
-    # block_until_ready alone does not flush the axon tunnel's async queue.
+    for _ in range(steps):
+        state, loss = topo_step(state, x, y, dots, 1e-3, key)
     float(loss)
-    dt = time.perf_counter() - t0
-    return STEPS * BATCH / dt
+    return steps * batch / (time.perf_counter() - t0)
+
+
+CONFIGS = [
+    # (name, tpu_fn, baseline_key, unit)
+    ("unet64_512px_bf16_b16", lambda: tpu_unet(16, "bfloat16"), "unet_ce"),
+    ("unet64_512px_f32_b8", lambda: tpu_unet(8, "float32", steps=10),
+     "unet_ce"),
+    ("unet64_512px_bf16_b32_remat",
+     lambda: tpu_unet(32, "bfloat16", remat=True, steps=10), "unet_ce"),
+    ("unet64_512px_bf16_b16_dice_bce_mc",
+     lambda: tpu_unet(16, "bfloat16", loss="dice_bce_mc", steps=10),
+     "unet_mc"),
+    ("multitask_unet64_512px_bf16_b8", tpu_multitask, "multitask"),
+    ("transunet_r50vitb16_512px_bf16_b4", tpu_transunet, "transunet"),
+    ("cltr_2000q_256px_b4_fused", tpu_cltr, "cltr"),
+    ("unet64_512px_topo_two_phase_b8", tpu_topo, None),
+]
 
 
 def main():
-    baseline = get_baseline()
-    tpu_ips = measure_tpu()
-    print(json.dumps({
-        "metric": f"unet64_{SIZE}px_bf16_train_images_per_sec_per_chip",
-        "value": round(tpu_ips, 3),
+    only = os.environ.get("BENCH_CONFIGS")
+    wanted = set(only.split(",")) if only else None
+    suite = []
+    headline = None
+    for name, fn, baseline_key in CONFIGS:
+        if wanted and name not in wanted:
+            continue
+        log(f"bench {name} ...")
+        try:
+            ips = fn()
+        except Exception as e:  # record, keep the suite running
+            log(f"  FAILED: {e!r}")
+            suite.append({"metric": name, "error": str(e)})
+            continue
+        baseline = get_baseline(baseline_key) if baseline_key else None
+        entry = {
+            "metric": name,
+            "value": round(ips, 3),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(ips / baseline, 3) if baseline else None,
+            "torch_cpu_img_per_sec": round(baseline, 4) if baseline else None,
+        }
+        log(f"  {ips:.2f} img/s  (vs baseline: {entry['vs_baseline']})")
+        suite.append(entry)
+        if name == "unet64_512px_bf16_b16":
+            headline = entry
+    if headline is None and suite:
+        headline = next((s for s in suite if "value" in s), {})
+    out = {
+        "metric": "unet64_512px_bf16_train_images_per_sec_per_chip",
+        "value": headline.get("value") if headline else None,
         "unit": "images/sec",
-        "vs_baseline": round(tpu_ips / baseline, 3),
-    }))
+        "vs_baseline": headline.get("vs_baseline") if headline else None,
+        "suite": suite,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

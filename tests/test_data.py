@@ -132,3 +132,56 @@ def test_data_random_crop_tiling(tmp_path):
                               train=True, crop_size=16)
     img, lbl, dot = ds_train[0]
     assert img.shape == (16, 16, 3)
+
+
+def test_loader_process_sharding():
+    """num_shards>1: same permutation per process, strided disjoint subsets,
+    equal step counts (multi-host data parallelism, core/dist.py)."""
+    from unet_torch_tpu.data.loader import NumpyLoader
+
+    class Ds:
+        def __len__(self):
+            return 13
+
+        def __getitem__(self, i):
+            return np.asarray([i])
+
+    seen = []
+    for rank in range(4):
+        loader = NumpyLoader(Ds(), batch_size=2, shuffle=True, seed=7,
+                             shard_index=rank, num_shards=4, prefetch=0)
+        got = [int(v) for b in loader for v in b.ravel()]
+        assert len(got) == 3  # 13 // 4 — equal length, remainder dropped
+        seen.append(set(got))
+    all_items = set().union(*seen)
+    assert sum(len(s) for s in seen) == len(all_items) == 12  # disjoint
+
+
+def test_loader_num_workers_matches_serial():
+    from unet_torch_tpu.data.loader import NumpyLoader
+
+    class Ds:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return np.asarray([i, i * i])
+
+    a = [b.tolist() for b in NumpyLoader(Ds(), 3, prefetch=0)]
+    b = [b.tolist() for b in NumpyLoader(Ds(), 3, prefetch=2, num_workers=4)]
+    assert a == b
+
+
+def test_dataset_cache_identical_samples(tmp_path):
+    """Cached (epoch>=2) samples bit-match the uncached first epoch."""
+    from unet_torch_tpu.data.datasets import DataBinary
+    from unet_torch_tpu.data.synthetic import write_synthetic_dataset
+
+    root = write_synthetic_dataset(str(tmp_path / "d"), n_images=3, size=48)
+    ds = DataBinary([root], ch=3, augmentation=False, input_size=(48, 48))
+    first = [ds[i] for i in range(3)]
+    second = [ds[i] for i in range(3)]  # cache hits
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+    assert ds._cache_used > 0

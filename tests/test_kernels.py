@@ -109,3 +109,76 @@ def test_max_pool_2x2_odd_sizes():
     assert out.shape == (1, 3, 4, 2)
     g = jax.grad(lambda t: jnp.sum(max_pool_2x2(t)))(x)
     assert g.shape == x.shape
+
+
+def test_fast_conv_transpose_matches_flax():
+    """FastConvTranspose2x2 == nn.ConvTranspose((2,2),(2,2)) bit-for-bit on
+    the same kernel/bias (depth-to-space formulation, nn/blocks.py)."""
+    import numpy as np
+    from flax import linen as nn
+
+    from unet_torch_tpu.nn.blocks import FastConvTranspose2x2
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 6, 6, 8), jnp.float32)
+    kernel = jnp.asarray(rng.randn(2, 2, 8, 4), jnp.float32)
+    bias = jnp.asarray(rng.randn(4), jnp.float32)
+    ref = nn.ConvTranspose(4, (2, 2), strides=(2, 2)).apply(
+        {"params": {"kernel": kernel, "bias": bias}}, x)
+    got = FastConvTranspose2x2(4).apply(
+        {"params": {"kernel": kernel, "bias": bias}}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_flash_attention_matches_reference():
+    """Flash-tiled kernel (online softmax over Nk tiles) == oracle, including
+    ragged tile edges and asymmetric Nq/Nk (kernels/attention.py)."""
+    import numpy as np
+
+    from unet_torch_tpu.kernels.attention import (
+        _attention_flash,
+        attention_reference,
+    )
+
+    rng = np.random.RandomState(1)
+    for (b, h, nq, nk, d, dv) in [(1, 2, 300, 300, 64, 64),
+                                  (1, 8, 2000, 64, 32, 256),
+                                  (1, 1, 8, 1500, 128, 128)]:
+        q = jnp.asarray(rng.randn(b, h, nq, d), jnp.float32)
+        k = jnp.asarray(rng.randn(b, h, nk, d), jnp.float32)
+        v = jnp.asarray(rng.randn(b, h, nk, dv), jnp.float32)
+        scale = d ** -0.5
+        ref = attention_reference(q, k, v, scale)
+        got = _attention_flash(q, k, v, scale, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=2e-5)
+
+
+def test_flash_attention_grad_matches_reference():
+    import numpy as np
+
+    import jax
+
+    from unet_torch_tpu.kernels.attention import (
+        _attention_flash_diff,
+        attention_reference,
+    )
+
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(1, 2, 260, 64), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 2, 140, 64), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 2, 140, 64), jnp.float32)
+    scale = 64 ** -0.5
+
+    def f_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, scale) ** 2)
+
+    def f_flash(q, k, v):
+        return jnp.sum(_attention_flash_diff(q, k, v, scale, True) ** 2)
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)

@@ -37,6 +37,10 @@ class ModelConfig:
     model_type: str = "single"
     dropout: bool = False
     anydepth: bool = False
+    # TPU-specific: rematerialise encoder activations in the backward pass
+    # (jax.checkpoint) — trades MXU FLOPs for HBM, unlocking larger batches.
+    # The reference's use_checkpointing hook is dead code (Model.py:155-165).
+    remat: bool = False
 
 
 @dataclasses.dataclass
@@ -55,6 +59,9 @@ class TrainConfig:
     use_cuda: bool = True  # accepted for compatibility; TPU/CPU chosen by JAX
     precision: str = "f32"
     mesh: dict = dataclasses.field(default_factory=dict)
+    # multi-process (multi-host) mode: jax.distributed.initialize() at start;
+    # also auto-detected from coordinator env vars (core/dist.py)
+    distributed: bool = False
 
 
 @dataclasses.dataclass
@@ -67,6 +74,9 @@ class DatasetConfig:
     save_dir: str = "run"
     class_names: Sequence[str] = ()
     random_crop: bool = False
+    # opt-in photometric augmentation for regression datasets (the reference
+    # builds these pipelines but leaves them commented — DataLoader.py:285-303)
+    photometric: bool = False
 
 
 @dataclasses.dataclass
@@ -101,6 +111,7 @@ class Config:
             model_type=str(m.get("model_type", "single")),
             dropout=bool(m.get("dropout", False)),
             anydepth=bool(m.get("anydepth", False)),
+            remat=bool(m.get("remat", False)),
         )
         seeds = t.get("seed", [0])
         if not isinstance(seeds, (list, tuple)):
@@ -120,6 +131,7 @@ class Config:
             use_cuda=bool(t.get("use_cuda", True)),
             precision=str(t.get("precision", "f32")),
             mesh=dict(t.get("mesh", {})),
+            distributed=bool(t.get("distributed", False)),
         )
         dataset = DatasetConfig(
             train_path=tuple(d.get("train_path", ()) or ()),
@@ -130,6 +142,7 @@ class Config:
             save_dir=d.get("save_dir", "run"),
             class_names=tuple(d.get("class_names", ()) or ()),
             random_crop=bool(d.get("random_crop", False)),
+            photometric=bool(d.get("photometric", False)),
         )
         resume = ResumeConfig(
             flag=bool(r.get("flag", False)),

@@ -73,6 +73,7 @@ def build_datasets_and_model(cfg: Config, seed: int):
                                 train=False, crop_size=256, **common)
     elif mt in ("regression", "regression_t"):
         train_ds = DataReg(list(d.train_path), augmentation=d.augmentation,
+                           photometric=d.photometric,
                            input_size=input_size, **common)
         val_ds = DataReg(list(d.val_path), augmentation=False,
                          input_size=input_size, **common)
@@ -131,20 +132,33 @@ def build_datasets_and_model(cfg: Config, seed: int):
         build_datasets_and_model.last_cltr_pretrained = cltr_args.get(
             "pretrained_resnet50")
     else:
+        kw = {"remat": True} if (m.remat and mt in (
+            "single", "regression")) else {}
         model = build_model(mt, n_channels=m.channel, n_classes=m.num_class,
                             base=m.initial_filter_size, dropout=m.dropout,
-                            dropout_p=m.drop_out_rate, dtype=dtype)
+                            dropout_p=m.drop_out_rate, dtype=dtype, **kw)
     return train_ds, val_ds, model
 
 
 def run_training(cfg: Config):
+    from unet_torch_tpu.core.dist import is_main, maybe_initialize, \
+        process_count, process_index
+
+    maybe_initialize(force=cfg.train.distributed)
     losses.set_class_number(cfg.model.num_class)
     save_dir = cfg.dataset.save_dir
     os.makedirs(save_dir, exist_ok=True)
-    cfg.dump_snapshot(save_dir)
+    if is_main():
+        cfg.dump_snapshot(save_dir)
 
     mesh = make_mesh(**({"n_data": cfg.train.mesh.get("data")}
                         if cfg.train.mesh else {}))
+    # per-process data sharding: each host loads its stride of the dataset
+    # and a per-process slice of the global batch (core/dist.py docstring)
+    nproc = process_count()
+    shard_kw = ({"shard_index": process_index(), "num_shards": nproc}
+                if nproc > 1 else {})
+    per_proc_batch = max(1, cfg.train.batch_size // nproc)
 
     test_image_list = (get_image_list(cfg.dataset.test_path[0])
                        if cfg.dataset.test_path else [])
@@ -162,17 +176,20 @@ def run_training(cfg: Config):
         print(f"Val set size: {len(val_ds)}")
         print(f"Loss Function: {cfg.train.loss}")
 
+        workers = cfg.train.num_workers
         if cfg.model.model_type == "CLTR":
             from unet_torch_tpu.train.cltr_loop import cltr_collate
 
-            train_loader = NumpyLoader(train_ds, cfg.train.batch_size,
+            train_loader = NumpyLoader(train_ds, per_proc_batch,
                                        shuffle=True, seed=seed,
-                                       collate_fn=cltr_collate)
+                                       collate_fn=cltr_collate,
+                                       num_workers=workers, **shard_kw)
             val_loader = NumpyLoader(val_ds, 1, shuffle=False,
                                      collate_fn=lambda items: items[0])
         else:
-            train_loader = NumpyLoader(train_ds, cfg.train.batch_size,
-                                       shuffle=True, seed=seed)
+            train_loader = NumpyLoader(train_ds, per_proc_batch,
+                                       shuffle=True, seed=seed,
+                                       num_workers=workers, **shard_kw)
             val_loader = NumpyLoader(val_ds, 1, shuffle=False)
         dataloaders = {"train": train_loader, "val": val_loader}
 
@@ -206,7 +223,7 @@ def run_training(cfg: Config):
                                              out_dir)
             _delete_non_best(out_dir)
 
-    if results:
+    if results and is_main():
         import pandas as pd
 
         df = pd.DataFrame(results).transpose().sort_index()

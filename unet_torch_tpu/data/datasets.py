@@ -150,7 +150,19 @@ class DataBinary(_Base):
 
 
 class DataReg(_Base):
-    """Density regression, labels scaled x200 (ref Data_Reg :230-420)."""
+    """Density regression, labels scaled x200 (ref Data_Reg :230-420).
+
+    The reference *constructs* imgaug/torchio/ColorJitter photometric stacks
+    for Data_Reg but its active transform applies only the geometric 50/25
+    rot-flip/rotate (the photometric block is commented out,
+    DataLoader.py:285-303) — so the default here is geometric-only.
+    ``photometric=True`` opts into the heatmap-aware pipeline the reference
+    gestures at (same ops Data_Reg_MT actually uses, :477-486).
+    """
+
+    def __init__(self, *args, photometric: bool = False, **kw):
+        super().__init__(*args, **kw)
+        self.photometric = photometric
 
     def __getitem__(self, idx):
         if not self.augmentation:
@@ -169,6 +181,11 @@ class DataReg(_Base):
         image, label = self._cached(("raw", idx), load)
         if self.augmentation:
             image, label = basic_geometric([image, label], self.rng)
+            if self.photometric and self.rng.random_sample() > 0.25:
+                hm = [label] if label.ndim == 2 else \
+                    [label[:, :, i] for i in range(label.shape[2])]
+                image, hm = pathology_augment_hm(image, hm, self.rng)
+                label = hm[0] if len(hm) == 1 else np.stack(hm, axis=-1)
         image = zoom_resize(image, self.height, self.width, order=3)
         label = zoom_resize(label, self.height, self.width, order=0)
         if label.ndim == 2:

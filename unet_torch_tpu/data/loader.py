@@ -38,7 +38,12 @@ class NumpyLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, drop_last: bool = False, prefetch: int = 2,
-                 collate_fn=None, num_workers: int = 0):
+                 collate_fn=None, num_workers: int = 0,
+                 shard_index: int = 0, num_shards: int = 1):
+        """``num_shards > 1`` = multi-process data parallelism: every process
+        draws the SAME permutation (same seed) and keeps the
+        ``shard_index``-strided subset, so the union over processes is one
+        epoch with no overlap; ``batch_size`` is per-process."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -46,6 +51,8 @@ class NumpyLoader:
         self.prefetch = prefetch
         self.collate_fn = collate_fn or _stack
         self.num_workers = num_workers
+        self.shard_index = shard_index
+        self.num_shards = num_shards
         self._rng = np.random.RandomState(seed)
 
     def _fetch(self, chunk, executor=None):
@@ -57,7 +64,8 @@ class NumpyLoader:
         return self.collate_fn(samples)
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards if self.num_shards > 1 \
+            else len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -66,6 +74,11 @@ class NumpyLoader:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(idx)
+        if self.num_shards > 1:
+            # equal-length shards (truncate the remainder) so all processes
+            # run the same number of steps — collectives stay in lock-step
+            per = len(idx) // self.num_shards
+            idx = idx[self.shard_index::self.num_shards][:per]
         for i in range(0, len(idx), self.batch_size):
             chunk = idx[i:i + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:

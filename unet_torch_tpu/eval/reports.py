@@ -894,13 +894,27 @@ def test_single_crop(trainer, input_size, ch, num_class, crop_size,
             img = np.pad(img_org, ((pt, pb), (pl, pr)), constant_values=255)
         img = to_model_input(z_normalize(img.astype(np.float64)))
 
-        pred = np.zeros(label.shape, np.uint8)
+        # batch the tiles through the jit'd forward (the reference predicts
+        # serially at batch 1, test.py:443-449); a fixed chunk size keeps one
+        # jit signature, the last chunk is padded and the padding discarded
+        coords, tiles = [], []
         for i in range(0, img.shape[0], crop_size):
             for j in range(0, img.shape[1], crop_size):
-                tile = img[i:i + crop_size, j:j + crop_size][None]
-                out = np.asarray(predict(tile.astype(np.float32)))[0, ..., 0]
+                coords.append((i, j))
+                tiles.append(img[i:i + crop_size, j:j + crop_size])
+        tiles = np.stack(tiles).astype(np.float32)
+        pred = np.zeros(label.shape, np.uint8)
+        chunk = 16
+        for s in range(0, len(tiles), chunk):
+            batch = tiles[s:s + chunk]
+            n = len(batch)
+            if n < chunk:
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], chunk - n, axis=0)])
+            out = np.asarray(predict(batch))[:n, ..., 0]
+            for (i, j), o in zip(coords[s:s + chunk], out):
                 pred[i:i + crop_size, j:j + crop_size] = \
-                    (1 / (1 + np.exp(-out)) >= 0.5).astype(np.uint8)
+                    (1 / (1 + np.exp(-o)) >= 0.5).astype(np.uint8)
         res.compare_images(img_org, label, pred, gt_dot)
     res.save()
     return res.get_results()

@@ -85,6 +85,97 @@ def _attention_pallas(q, k, v, scale, interpret=False):
     return out.reshape(b, h, nq, dv)
 
 
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                             "interpret"))
+def _attention_flash(q, k, v, scale, block_q=256, block_k=512,
+                     interpret=False):
+    """Flash-tiled attention: online softmax over Nk tiles, so VMEM holds only
+    (block_q x block_k) scores — arbitrary sequence lengths keep the fused
+    path (the whole-sequence kernel above is limited to ~10MB of q/k/v+scores).
+
+    Grid (BH, nq_tiles, nk_tiles), K innermost: TPU grids run sequentially, so
+    the m/l/acc scratch carries across the K sweep of each Q tile
+    (pallas_guide.md grid-revisiting pattern)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, nq, dqk = q.shape
+    nk = k.shape[2]
+    dv = v.shape[3]
+    bq = min(block_q, _ceil_to(nq, 8))
+    bk = min(block_k, _ceil_to(nk, 128))
+    nq_p, nk_p = _ceil_to(nq, bq), _ceil_to(nk, bk)
+
+    qf = q.reshape(b * h, nq, dqk)
+    kf = k.reshape(b * h, nk, dqk)
+    vf = v.reshape(b * h, nk, dv)
+    if nq_p != nq:
+        qf = jnp.pad(qf, ((0, 0), (0, nq_p - nq), (0, 0)))
+    if nk_p != nk:
+        kf = jnp.pad(kf, ((0, 0), (0, nk_p - nk), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, nk_p - nk), (0, 0)))
+    n_k_tiles = nk_p // bk
+
+    def kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
+        ki = pl.program_id(2)
+
+        @pl.when(ki == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, -1e30)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        qb = q_ref[0].astype(jnp.float32)
+        kb = k_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        # mask padded K columns (global index >= true nk)
+        col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < nk, s, -1e30)
+
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        e = jnp.exp(s - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_scr[...] = l_scr[...] * corr + jnp.sum(e, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(e.astype(v_ref.dtype), v_ref[0],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * corr + pv
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+
+        @pl.when(ki == n_k_tiles - 1)
+        def _final():
+            o_ref[0] = (acc_scr[...] / l_scr[...]).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h, nq_p // bq, n_k_tiles),
+        in_specs=[
+            pl.BlockSpec((1, bq, dqk), lambda i, j, ki: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dqk), lambda i, j, ki: (i, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dv), lambda i, j, ki: (i, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dv), lambda i, j, ki: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq_p, dv), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, dv), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out[:, :nq].reshape(b, h, nq, dv)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _attention_pallas_diff(q, k, v, scale, interpret):
     return _attention_pallas(q, k, v, scale, interpret=interpret)
@@ -112,6 +203,18 @@ def _attention_diff_bwd(scale, interpret, res, g):
 _attention_pallas_diff.defvjp(_attention_diff_fwd, _attention_diff_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _attention_flash_diff(q, k, v, scale, interpret):
+    return _attention_flash(q, k, v, scale, interpret=interpret)
+
+
+def _attention_flash_fwd(q, k, v, scale, interpret):
+    return _attention_flash(q, k, v, scale, interpret=interpret), (q, k, v)
+
+
+_attention_flash_diff.defvjp(_attention_flash_fwd, _attention_diff_bwd)
+
+
 def fused_attention(q, k, v, scale=None, key_padding_mask=None,
                     use_pallas=None, interpret=False):
     """q,k: (B,H,N,Dqk); v: (B,H,Nk,Dv) -> (B,H,Nq,Dv).
@@ -121,20 +224,23 @@ def fused_attention(q, k, v, scale=None, key_padding_mask=None,
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    flash = False
     if use_pallas is None:
         use_pallas = _use_pallas_default() and key_padding_mask is None
         # whole-sequence kernel: q/k/v + the (Nq, Nk) score matrix must fit
-        # VMEM (~16MB/core); longer sequences fall back to XLA until the
-        # flash-tiled variant lands (round-2 roadmap)
+        # VMEM (~16MB/core); longer sequences switch to the flash-tiled
+        # kernel (online softmax over Nk tiles) instead of losing the fusion
         nq, nk = q.shape[2], k.shape[2]
         vmem_bytes = 4 * (nq * nk + nq * q.shape[3] + nk * k.shape[3]
                           + nk * v.shape[3] + nq * v.shape[3])
         if vmem_bytes > 10 * 1024 * 1024:
-            use_pallas = False
+            flash = use_pallas
     if key_padding_mask is not None or not use_pallas:
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
         if key_padding_mask is not None:
             s = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf, s)
         p = jax.nn.softmax(s, axis=-1)
         return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+    if flash:
+        return _attention_flash_diff(q, k, v, float(scale), interpret)
     return _attention_pallas_diff(q, k, v, float(scale), interpret)

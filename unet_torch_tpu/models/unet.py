@@ -40,21 +40,25 @@ class UNetEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool) -> Sequence[jnp.ndarray]:
-        inc = DoubleConv(self.base, dtype=self.dtype, name="inc")
+        # Rematerialise stages in the backward pass when remat=True: HBM is
+        # the usual bottleneck; recomputing conv activations is cheap on the
+        # MXU.  (The reference's use_checkpointing is dead code,
+        # Model.py:155-165 — ours works and is config-exposed.)
+        conv_cls = (nn.remat(DoubleConv, static_argnums=(2,))
+                    if self.remat else DoubleConv)
+        down_cls = (nn.remat(Down, static_argnums=(2,))
+                    if self.remat else Down)
+        inc = conv_cls(self.base, dtype=self.dtype, name="inc")
         downs = [
-            Down(self.base * m, self.dropout, self.dropout_p, dtype=self.dtype,
-                 name=f"down{i + 1}")
+            down_cls(self.base * m, self.dropout, self.dropout_p,
+                     dtype=self.dtype, name=f"down{i + 1}")
             for i, m in enumerate((2, 4, 8, 16))
         ]
-        if self.remat:
-            # Rematerialise encoder stages in the backward pass: HBM is the usual
-            # bottleneck; recomputing conv activations is cheap on the MXU.
-            inc = nn.remat(DoubleConv, static_argnums=())(self.base, dtype=self.dtype, name="inc")
-        x1 = inc(x, train=train)
-        x2 = downs[0](x1, train=train)
-        x3 = downs[1](x2, train=train)
-        x4 = downs[2](x3, train=train)
-        x5 = downs[3](x4, train=train)
+        x1 = inc(x, train)
+        x2 = downs[0](x1, train)
+        x3 = downs[1](x2, train)
+        x4 = downs[2](x3, train)
+        x5 = downs[3](x4, train)
         return x1, x2, x3, x4, x5
 
 
@@ -63,19 +67,21 @@ class UNetDecoder(nn.Module):
     n_classes: int
     dropout: bool = False
     dropout_p: float = 0.5
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats, *, train: bool):
+        up_cls = nn.remat(Up, static_argnums=(3,)) if self.remat else Up
         x1, x2, x3, x4, x5 = feats
-        x = Up(self.base * 8, self.dropout, self.dropout_p, dtype=self.dtype,
-               name="up1")(x5, x4, train=train)
-        x = Up(self.base * 4, self.dropout, self.dropout_p, dtype=self.dtype,
-               name="up2")(x, x3, train=train)
-        x = Up(self.base * 2, self.dropout, self.dropout_p, dtype=self.dtype,
-               name="up3")(x, x2, train=train)
-        x = Up(self.base, self.dropout, self.dropout_p, dtype=self.dtype,
-               name="up4")(x, x1, train=train)
+        x = up_cls(self.base * 8, self.dropout, self.dropout_p,
+                   dtype=self.dtype, name="up1")(x5, x4, train)
+        x = up_cls(self.base * 4, self.dropout, self.dropout_p,
+                   dtype=self.dtype, name="up2")(x, x3, train)
+        x = up_cls(self.base * 2, self.dropout, self.dropout_p,
+                   dtype=self.dtype, name="up3")(x, x2, train)
+        x = up_cls(self.base, self.dropout, self.dropout_p,
+                   dtype=self.dtype, name="up4")(x, x1, train)
         return OutConv(self.n_classes, dtype=self.dtype, name="outc")(x)
 
 
@@ -94,7 +100,8 @@ class UNet(nn.Module):
     def __call__(self, x, *, train: bool = False):
         feats = UNetEncoder(self.base, self.dropout, self.dropout_p, self.remat,
                             dtype=self.dtype, name="encoder")(x, train=train)
-        return UNetDecoder(self.base, self.n_classes, self.dropout, self.dropout_p,
+        return UNetDecoder(self.base, self.n_classes, self.dropout,
+                           self.dropout_p, remat=self.remat,
                            dtype=self.dtype, name="decoder")(feats, train=train)
 
 

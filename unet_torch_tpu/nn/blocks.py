@@ -56,6 +56,113 @@ def torch_convt_kernel_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+class TPUBatchNorm(nn.Module):
+    """BatchNorm with f32 statistics but compute-dtype apply/output.
+
+    flax's nn.BatchNorm(dtype=f32) promotes the whole normalize path to f32,
+    so under bf16 compute every BN+ReLU chain materialises f32 activations —
+    2x the HBM bytes of the surrounding convs (measured: the
+    convert_reduce/f32-elementwise fusions in the r2 profile).  Here the
+    mean/var reductions and running stats stay f32 (accuracy), but the affine
+    apply collapses to per-channel bf16 scale+shift, so activations stay in
+    the compute dtype end to end.
+
+    Param/stats tree is identical to nn.BatchNorm ({scale,bias} /
+    {mean,var}) — checkpoints interchange.  torch semantics matched:
+    momentum 0.9 flax == torch BatchNorm2d momentum=0.1 (Model.py:17,21).
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        features = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(features, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          jnp.float32)
+        reduce_axes = tuple(range(x.ndim - 1))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            # fast-variance form, same as flax's default (_compute_stats)
+            var = jnp.maximum(
+                jnp.mean(xf * xf, axis=reduce_axes) - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value +
+                                 (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value +
+                                (1.0 - self.momentum) * var)
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        mul = inv.astype(x.dtype)
+        add = (bias - mean * inv).astype(x.dtype)
+        return x * mul + add
+
+
+class FastConvTranspose2x2(nn.Module):
+    """ConvTranspose k=2 s=2 as one matmul + depth-to-space.
+
+    XLA lowers lax.conv_transpose to an lhs-dilated conv: for k=s=2 that's 4
+    kernel taps per output of which 3 hit inserted zeros (plus a kernel
+    `reverse` op, visible in the r2 profile) — 4x wasted MXU work.  Here each
+    output pixel is exactly one tap: T[b,h,w,(r,s,o)] = sum_c X·K[r,s,c,o],
+    a single (BHW,C)x(C,4O) matmul, then interleave (r,s) into space.
+
+    Param tree (kernel (2,2,C,O), bias (O,)) and numerics are bit-compatible
+    with flax nn.ConvTranspose((2,2), strides=(2,2)) — verified in
+    tests/test_kernels.py; torch imports keep working unchanged.
+
+    MEASURED (r2, UNet-64 bf16 b16 512²): 80.4 img/s vs 82.8 with XLA's
+    dilated conv — the depth-to-space interleave costs more than the dilated
+    taps save, so this is NOT wired into Up/AttentionGate; kept as an
+    oracle-verified experiment (same status as kernels/pool.py).
+    """
+
+    features: int
+    kernel_init: callable = nn.initializers.lecun_normal()
+    bias_init: callable = nn.initializers.zeros
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (2, 2, c, self.features))
+        # flax conv_transpose correlates with the spatially flipped kernel
+        k = kernel[::-1, ::-1].astype(self.dtype)
+        x = x.astype(self.dtype)
+        t = jnp.einsum("bhwc,rsco->bhwrso", x, k)
+        b, h, w, _r, _s, o = t.shape
+        t = t.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, o)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+            t = t + bias.astype(self.dtype)
+        return t
+
+
+def max_pool_2x2(x):
+    """2x2/stride-2 max pool as a reshape-max: XLA lowers the backward to an
+    equality-mask fusion instead of select_and_scatter (7 ms/step in the r2
+    profile).  Tie semantics: gradient splits equally among tied maxima
+    (torch's select_and_scatter picks the first); subgradient either way."""
+    b, h, w, c = x.shape
+    if h % 2 or w % 2:
+        # torch MaxPool2d(2,2) floors: the trailing odd row/col is ignored
+        x = x[:, :h - h % 2, :w - w % 2, :]
+        h, w = x.shape[1], x.shape[2]
+    return x.reshape(b, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
+
+
 class DoubleConv(nn.Module):
     """(Conv3x3 pad=1 bias=False -> BatchNorm -> ReLU) * 2, optional mid width."""
 
@@ -64,9 +171,9 @@ class DoubleConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, train: bool = False):
         mid = self.mid_features or self.features
-        for feats in (mid, self.features):
+        for i, feats in enumerate((mid, self.features)):
             x = nn.Conv(
                 feats,
                 (3, 3),
@@ -75,11 +182,12 @@ class DoubleConv(nn.Module):
                 kernel_init=kaiming_normal,
                 dtype=self.dtype,
             )(x)
-            x = nn.BatchNorm(
+            x = TPUBatchNorm(
                 use_running_average=not train,
                 momentum=0.9,  # torch BatchNorm2d momentum=0.1 == flax momentum 0.9
                 epsilon=1e-5,
-                dtype=jnp.float32,  # keep batch stats in f32 even under bf16 compute
+                dtype=self.dtype,
+                name=f"BatchNorm_{i}",
             )(x)
             x = nn.relu(x)
         return x
@@ -94,8 +202,8 @@ class Down(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+    def __call__(self, x, train: bool = False):
+        x = max_pool_2x2(x)
         if self.dropout:
             x = nn.Dropout(self.dropout_p, deterministic=not train)(x)
         return DoubleConv(self.features, dtype=self.dtype)(x, train=train)
@@ -114,8 +222,11 @@ class Up(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x1, x2, *, train: bool):
+    def __call__(self, x1, x2, train: bool = False):
         c = x1.shape[-1]
+        # NB: a matmul+depth-to-space formulation (FastConvTranspose2x2) was
+        # measured SLOWER than XLA's dilated conv here (80.4 vs 82.8 img/s,
+        # r2) — the space interleave costs more than the dilated taps save.
         x1 = nn.ConvTranspose(
             c // 2, (2, 2), strides=(2, 2), dtype=self.dtype,
             kernel_init=torch_convt_kernel_init,
@@ -161,7 +272,7 @@ class AttentionGate(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q, x, *, train: bool):
+    def __call__(self, q, x, train: bool = False):
         cq = q.shape[-1]
         q = nn.ConvTranspose(cq, (2, 2), strides=(2, 2), dtype=self.dtype,
                              kernel_init=torch_convt_kernel_init,
@@ -177,11 +288,11 @@ class AttentionGate(nn.Module):
                 dtype=self.dtype,
                 name=f"{name}_conv",
             )(v)
-            return nn.BatchNorm(
+            return TPUBatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
-                dtype=jnp.float32,
+                dtype=self.dtype,
                 name=f"{name}_bn",
             )(v)
 

@@ -102,6 +102,10 @@ class Trainer:
     # ------------------------------------------------------------------ utils
 
     def _log(self, *lines):
+        from unet_torch_tpu.core.dist import is_main
+
+        if not is_main():  # one process owns logs.txt (ref save_on_master)
+            return
         path = os.path.join(self.output_save_dir, "logs.txt")
         with open(path, "a") as f:
             for ln in lines:
@@ -124,6 +128,8 @@ class Trainer:
         return self._lr
 
     def _save_best(self, epoch):
+        from unet_torch_tpu.core.dist import is_main
+
         params = self.state.params
         if isinstance(params, dict) and "model" in params:
             payload_params = params["model"]
@@ -133,12 +139,18 @@ class Trainer:
             "params": jax.device_get(payload_params),
             "batch_stats": jax.device_get(self.state.batch_stats),
         }
+        if not is_main():
+            return
         for name in (f"epoch{epoch}.pt", "best.pt"):
             ckpt.save_weights(os.path.join(self.save_dir_model, name),
                               self.best_payload["params"],
                               self.best_payload["batch_stats"])
 
     def _save_last(self):
+        from unet_torch_tpu.core.dist import is_main
+
+        if not is_main():
+            return
         params = self.state.params
         if isinstance(params, dict) and "model" in params:
             params = params["model"]
@@ -162,6 +174,10 @@ class Trainer:
             self.state = self.state.replace(params=params, batch_stats=bs)
 
     def plot_loss_functions(self, name):
+        from unet_torch_tpu.core.dist import is_main
+
+        if not is_main():
+            return
         import matplotlib
 
         matplotlib.use("Agg")
