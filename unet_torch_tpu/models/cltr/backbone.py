@@ -67,10 +67,14 @@ class Bottleneck(nn.Module):
 
 
 class ResNet50(nn.Module):
-    """torchvision-layout ResNet-50 trunk returning the layer4 (1/32) map."""
+    """torchvision-layout ResNet-50 trunk returning the layer4 (1/32) map.
+
+    ``return_interm=True`` additionally returns the layer1..layer3 maps (the
+    FPN features DETRsegm consumes — ref backbone.py return_interm_layers)."""
 
     dtype: jnp.dtype = jnp.float32
     layers: Sequence[int] = (3, 4, 6, 3)
+    return_interm: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -83,12 +87,16 @@ class ResNet50(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
 
         widths = (64, 128, 256, 512)
+        interm = []
         for li, (w, n) in enumerate(zip(widths, self.layers), start=1):
             for b in range(n):
                 stride = 2 if (b == 0 and li > 1) else 1
                 x = Bottleneck(w, strides=stride, downsample=(b == 0),
                                dtype=self.dtype,
                                name=f"layer{li}_block{b}")(x)
+            interm.append(x)
+        if self.return_interm:
+            return tuple(interm)  # layer1..layer4, NHWC
         return x  # (B, H/32, W/32, 2048)
 
 

@@ -213,6 +213,9 @@ class Transformer(nn.Module):
     num_decoder_layers: int = 6
     dim_feedforward: int = 2048
     dropout_rate: float = 0.1
+    # also return the encoder memory reshaped to (B, H, W, D) — used by the
+    # panoptic mask head (segmentation.py DETRsegm)
+    return_memory: bool = False
 
     @nn.compact
     def __call__(self, src, mask, query_embed, pos_embed, *, train: bool):
@@ -253,4 +256,6 @@ class Transformer(nn.Module):
             intermediate.append(norm(output))
 
         hs = jnp.stack(intermediate)  # (L, B, Q, D)
+        if self.return_memory:
+            return hs, reference_points, memory.reshape(b, h, w, c)
         return hs, reference_points
