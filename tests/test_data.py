@@ -185,3 +185,58 @@ def test_dataset_cache_identical_samples(tmp_path):
         np.testing.assert_array_equal(a[0], b[0])
         np.testing.assert_array_equal(a[1], b[1])
     assert ds._cache_used > 0
+
+
+def test_nested_batch_mask_convention():
+    """nested_batch pads mixed sizes, mask True ON padding (misc.py:324-326
+    convention); bucketing bounds the jit-shape cache."""
+    from unet_torch_tpu.data.nested import nested_batch
+
+    a = np.ones((50, 70, 3), np.float32)
+    b = np.ones((90, 40, 3), np.float32) * 2
+    batch, mask = nested_batch([a, b], bucket=32)
+    assert batch.shape == (2, 96, 96, 3) and mask.shape == (2, 96, 96)
+    assert not mask[0, :50, :70].any() and mask[0, 50:, :].all()
+    assert not mask[1, :90, :40].any() and mask[1, :, 40:].all()
+    np.testing.assert_array_equal(batch[0, :50, :70], a)
+    assert (batch[0, 50:, :] == 0).all()
+
+
+def test_pad_and_tile_covers_margins():
+    """Full-image coverage: the reference's val tiling drops non-multiple
+    margins (DataLoader.py:826-842); pad_and_tile keeps them."""
+    from unet_torch_tpu.data.nested import pad_and_tile
+
+    img = np.arange(70 * 45, dtype=np.float32).reshape(70, 45)
+    tiles, mtiles, (rows, cols) = pad_and_tile(img, 32)
+    assert (rows, cols) == (3, 2) and tiles.shape == (6, 32, 32, 1)
+    # reassemble: every original pixel present exactly once
+    rec = np.zeros((96, 64), np.float32)
+    k = 0
+    for i in range(rows):
+        for j in range(cols):
+            rec[i*32:(i+1)*32, j*32:(j+1)*32] = tiles[k, :, :, 0]
+            k += 1
+    np.testing.assert_array_equal(rec[:70, :45], img)
+    assert mtiles[0, 0, 0] == False and mtiles[-1, -1, -1] == True
+
+
+def test_cltr_forward_with_nested_mask():
+    """ConditionalDETR consumes the nested-batch padding mask end to end."""
+    import jax
+    import jax.numpy as jnp
+
+    from unet_torch_tpu.data.nested import nested_batch
+    from unet_torch_tpu.models.cltr.model import ConditionalDETR
+
+    imgs = [np.random.RandomState(i).rand(48 + 16 * i, 64, 3).astype(
+        np.float32) for i in range(2)]
+    batch, mask = nested_batch(imgs, bucket=32)
+    model = ConditionalDETR(num_queries=4, hidden_dim=32, nheads=4,
+                            enc_layers=1, dec_layers=1, dim_feedforward=32)
+    variables = model.init(jax.random.key(0), jnp.asarray(batch),
+                           jnp.asarray(mask), train=False)
+    out = model.apply(variables, jnp.asarray(batch), jnp.asarray(mask),
+                      train=False)
+    assert out["pred_logits"].shape == (2, 4, 2)
+    assert np.isfinite(np.asarray(out["pred_logits"])).all()
