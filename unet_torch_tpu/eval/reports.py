@@ -85,6 +85,22 @@ def make_predict_fn(trainer):
     return predict
 
 
+def _batched_eval(image_list, ch, input_size, predict, chunk: int = 8):
+    """Decode + preprocess a chunk of eval images, run one batched forward
+    (the reference predicts serially at batch 1), yield (paths, originals,
+    outputs).  Fixed chunk = one jit signature; last-chunk padding dropped."""
+    for s in range(0, len(image_list), chunk):
+        paths = image_list[s:s + chunk]
+        originals = [_load_eval_image(p, ch) for p in paths]
+        xs = np.concatenate([preprocess_eval(im, input_size)
+                             for im in originals]).astype(np.float32)
+        n = len(xs)
+        if n < chunk:
+            xs = np.concatenate([xs, np.repeat(xs[-1:], chunk - n, axis=0)])
+        outs = np.asarray(predict(xs))[:n]
+        yield paths, originals, outs
+
+
 def _model_params(state):
     p = state.params
     if isinstance(p, dict) and "model" in p:
@@ -850,18 +866,18 @@ def test_single(trainer, input_size, ch, num_class, image_list, save_dir):
     os.makedirs(save_dir, exist_ok=True)
     res = ResultsCC(save_dir, True)
     predict = make_predict_fn(trainer)
-    for img_path in image_list:
-        res.imageNames.append(os.path.basename(img_path))
-        img_org = _load_eval_image(img_path, ch)
-        h, w = img_org.shape[:2]
-        x = preprocess_eval(img_org, input_size).astype(np.float32)
-        out = np.asarray(predict(x))[0, ..., 0]
-        pred = (1 / (1 + np.exp(-out)) >= 0.5).astype(np.uint8)
-        if (h, w) != tuple(input_size):
-            pred = zoom_resize(pred, h, w, order=0).astype(np.uint8)
-        mask = cv2.imread(img_path[: img_path.rfind(".")] + "_label.png", 0)
-        gt_dot = cv2.imread(img_path.replace(".png", "_gt_dot.png"), 0)
-        res.compare_images(img_org, mask, pred, gt_dot)
+    for paths, originals, outs in _batched_eval(image_list, ch, input_size,
+                                                predict):
+        for img_path, img_org, out in zip(paths, originals, outs):
+            res.imageNames.append(os.path.basename(img_path))
+            h, w = img_org.shape[:2]
+            pred = (1 / (1 + np.exp(-out[..., 0])) >= 0.5).astype(np.uint8)
+            if (h, w) != tuple(input_size):
+                pred = zoom_resize(pred, h, w, order=0).astype(np.uint8)
+            mask = cv2.imread(img_path[: img_path.rfind(".")] +
+                              "_label.png", 0)
+            gt_dot = cv2.imread(img_path.replace(".png", "_gt_dot.png"), 0)
+            res.compare_images(img_org, mask, pred, gt_dot)
     res.save()
     return res.get_results()
 
@@ -947,27 +963,27 @@ def test_single_mc(trainer, input_size, ch, num_class, image_list, save_dir):
         raise ValueError(f"invalid Num_Class {num_class} for test_single_mc")
 
     predict = make_predict_fn(trainer)
-    for img_path in image_list:
-        image_name = os.path.basename(img_path)
-        img_org = _load_eval_image(img_path, ch)
-        h, w = img_org.shape[:2]
-        x = preprocess_eval(img_org, input_size).astype(np.float32)
-        out = np.asarray(predict(x))[0]
-        pred = np.argmax(out, axis=-1)
-        if (h, w) != tuple(input_size):
-            pred = zoom_resize(pred, h, w, order=0)
-        pred = np.uint8(pred)
+    # batch across images (they all zoom to input_size; the reference
+    # predicts serially at batch 1, test_mc3serousv5.py:878)
+    for paths, originals, outs in _batched_eval(image_list, ch, input_size,
+                                                predict):
+        for img_path, img_org, out in zip(paths, originals, outs):
+            h, w = img_org.shape[:2]
+            pred = np.argmax(out, axis=-1)
+            if (h, w) != tuple(input_size):
+                pred = zoom_resize(pred, h, w, order=0)
+            pred = np.uint8(pred)
 
-        label = cv2.imread(img_path.replace(".png", "_label_mc.png"), 0)
-        gt_dot_path = img_path.replace(".png", "_gt_dot_mc.png")
-        if not os.path.exists(gt_dot_path):
-            gt_dot_path = img_path.replace(".png", "_gt_dot.png")
-        gt_dot = cv2.imread(gt_dot_path, 0)
-        res.imageNames.append(image_name)
-        if num_class == 3:
-            res.compare_images(img_org, label, pred, gt_dot)
-        else:
-            res.compare_images(img_org, label, pred)
+            label = cv2.imread(img_path.replace(".png", "_label_mc.png"), 0)
+            gt_dot_path = img_path.replace(".png", "_gt_dot_mc.png")
+            if not os.path.exists(gt_dot_path):
+                gt_dot_path = img_path.replace(".png", "_gt_dot.png")
+            gt_dot = cv2.imread(gt_dot_path, 0)
+            res.imageNames.append(os.path.basename(img_path))
+            if num_class == 3:
+                res.compare_images(img_org, label, pred, gt_dot)
+            else:
+                res.compare_images(img_org, label, pred)
     res.save()
     return res.get_results()
 
@@ -1193,22 +1209,22 @@ def test_single_reg(trainer, input_size, ch, num_class, image_list, save_dir,
     os.makedirs(save_dir, exist_ok=True)
     res = TwoChannelRegResults(save_dir)
     predict = make_predict_fn(trainer)
-    for img_path in image_list:
-        res.sample_list.append(os.path.basename(img_path))
-        img_org = _load_eval_image(img_path, ch)
-        h, w = img_org.shape[:2]
-        x = preprocess_eval(img_org, input_size).astype(np.float32)
-        out = np.maximum(np.asarray(predict(x))[0], 0)
-        pred_other = out[..., 0]
-        pred_immune = out[..., 1] if out.shape[-1] > 1 else \
-            np.zeros_like(pred_other)
-        if (h, w) != tuple(input_size):
-            pred_other = zoom_resize(pred_other, h, w, order=0)
-            pred_immune = zoom_resize(pred_immune, h, w, order=0)
-        pred_other = pred_other / 200.0
-        pred_immune = pred_immune / 200.0
-        dot_other, dot_immune = _gt_dots_for(img_path, tsv_files, (h, w))
-        res.add(pred_other, pred_immune, dot_other, dot_immune)
+    for paths, originals, outs in _batched_eval(image_list, ch, input_size,
+                                                predict):
+        for img_path, img_org, out in zip(paths, originals, outs):
+            res.sample_list.append(os.path.basename(img_path))
+            h, w = img_org.shape[:2]
+            out = np.maximum(out, 0)
+            pred_other = out[..., 0]
+            pred_immune = out[..., 1] if out.shape[-1] > 1 else \
+                np.zeros_like(pred_other)
+            if (h, w) != tuple(input_size):
+                pred_other = zoom_resize(pred_other, h, w, order=0)
+                pred_immune = zoom_resize(pred_immune, h, w, order=0)
+            pred_other = pred_other / 200.0
+            pred_immune = pred_immune / 200.0
+            dot_other, dot_immune = _gt_dots_for(img_path, tsv_files, (h, w))
+            res.add(pred_other, pred_immune, dot_other, dot_immune)
     res.save()
     return res.get_results()
 
@@ -1220,20 +1236,25 @@ def test_multiple_reg(trainer, input_size, ch, num_class, image_list,
     os.makedirs(save_dir, exist_ok=True)
     res = TwoChannelRegResults(save_dir)
     predict = make_predict_fn(trainer)
-    for img_path in image_list:
-        res.sample_list.append(os.path.basename(img_path))
-        img_org = _load_eval_image(img_path, ch)
-        h, w = img_org.shape[:2]
-        x = preprocess_eval(img_org, input_size).astype(np.float32)
+
+    def predict_pair(x):
         o_immune, o_other = predict(x)
-        pred_immune = np.maximum(np.asarray(o_immune)[0, ..., 0], 0)
-        pred_other = np.maximum(np.asarray(o_other)[0, ..., 0], 0)
-        if (h, w) != tuple(input_size):
-            pred_other = zoom_resize(pred_other, h, w, order=0)
-            pred_immune = zoom_resize(pred_immune, h, w, order=0)
-        pred_other = pred_other / 200.0
-        pred_immune = pred_immune / 200.0
-        dot_other, dot_immune = _gt_dots_for(img_path, tsv_files, (h, w))
-        res.add(pred_other, pred_immune, dot_other, dot_immune)
+        return np.stack([np.asarray(o_other)[..., 0],
+                         np.asarray(o_immune)[..., 0]], axis=-1)
+
+    for paths, originals, outs in _batched_eval(image_list, ch, input_size,
+                                                predict_pair):
+        for img_path, img_org, out in zip(paths, originals, outs):
+            res.sample_list.append(os.path.basename(img_path))
+            h, w = img_org.shape[:2]
+            pred_other = np.maximum(out[..., 0], 0)
+            pred_immune = np.maximum(out[..., 1], 0)
+            if (h, w) != tuple(input_size):
+                pred_other = zoom_resize(pred_other, h, w, order=0)
+                pred_immune = zoom_resize(pred_immune, h, w, order=0)
+            pred_other = pred_other / 200.0
+            pred_immune = pred_immune / 200.0
+            dot_other, dot_immune = _gt_dots_for(img_path, tsv_files, (h, w))
+            res.add(pred_other, pred_immune, dot_other, dot_immune)
     res.save()
     return res.get_results()
