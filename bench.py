@@ -153,6 +153,9 @@ def baseline_transunet(steps=1, batch=1):
 
 def baseline_cltr(steps=1, batch=1):
     torch = _torch_setup()
+    # the reference matcher hardcodes .cuda() (CLTR/matcher.py:74); run the
+    # code unmodified on CPU by making .cuda a no-op for this process
+    torch.Tensor.cuda = lambda self, *a, **k: self
     import yaml
 
     from CLTR.build_model import buildCLTR
@@ -426,7 +429,11 @@ def main():
             log(f"  FAILED: {e!r}")
             suite.append({"metric": name, "error": str(e)})
             continue
-        baseline = get_baseline(baseline_key) if baseline_key else None
+        try:
+            baseline = get_baseline(baseline_key) if baseline_key else None
+        except Exception as e:  # baseline failure must not lose the number
+            log(f"  baseline {baseline_key} FAILED: {e!r}")
+            baseline = None
         entry = {
             "metric": name,
             "value": round(ips, 3),

@@ -149,6 +149,8 @@ def main():
         "reference_torch_dice": round(dice_ref, 4),
         "unet_torch_tpu_dice": round(dice_ours, 4),
         "abs_gap": round(abs(dice_ref - dice_ours), 4),
+        "ours_minus_torch": round(dice_ours - dice_ref, 4),
+        "meets_criterion": bool(dice_ours >= dice_ref - 0.005),
         "per_seed_torch": [round(d, 4) for d in ref_dices],
         "per_seed_ours": [round(d, 4) for d in our_dices],
         "std_torch": round(float(np.std(ref_dices)), 4),

@@ -33,8 +33,9 @@ def test_z_normalize_per_channel():
     rng = np.random.RandomState(0)
     img = rng.rand(16, 16, 3) * 255
     z = z_normalize(img)
-    np.testing.assert_allclose(z.mean(axis=(0, 1)), 0, atol=1e-9)
-    np.testing.assert_allclose(z.std(axis=(0, 1)), 1, atol=1e-9)
+    # f32 output (model-input dtype); stats accumulate in f64 via cv2
+    np.testing.assert_allclose(z.mean(axis=(0, 1)), 0, atol=1e-6)
+    np.testing.assert_allclose(z.std(axis=(0, 1)), 1, atol=1e-6)
 
 
 def test_zoom_resize_orders():

@@ -29,11 +29,29 @@ def random_rot_flip(samples, rng: np.random.RandomState):
 
 
 def random_rotate(samples, rng: np.random.RandomState):
-    """DataLoader.py:114-120 — shared ±20° rotation, order=0, no reshape."""
-    from scipy import ndimage
+    """DataLoader.py:114-120 — shared ±20° rotation, nearest-neighbour, no
+    reshape.  Implemented with cv2.warpAffine (same centre rotation + zero
+    fill as ndimage.rotate(order=0), ~30x faster — the rotate path dominated
+    the warm input-pipeline cost on the 1-vCPU host, LOADER_BENCH.json)."""
+    import cv2
 
     angle = rng.randint(-20, 20)
-    return [ndimage.rotate(s, angle, order=0, reshape=False) for s in samples]
+    outs = []
+    for s in samples:
+        if s.ndim == 3 and s.shape[2] > 4:
+            from scipy import ndimage
+
+            outs.append(ndimage.rotate(s, angle, order=0, reshape=False))
+            continue
+        h, w = s.shape[:2]
+        # same centre ((h-1)/2,(w-1)/2) and angle convention as
+        # ndimage.rotate (verified on dot fixtures)
+        mat = cv2.getRotationMatrix2D(((w - 1) / 2.0, (h - 1) / 2.0),
+                                      angle, 1.0)
+        out = cv2.warpAffine(s, mat, (w, h), flags=cv2.INTER_NEAREST,
+                             borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+        outs.append(out.reshape(s.shape))
+    return outs
 
 
 def basic_geometric(samples, rng: np.random.RandomState):

@@ -89,10 +89,30 @@ def zoom_resize(arr: np.ndarray, height: int, width: int,
 
 
 def z_normalize(img: np.ndarray) -> np.ndarray:
-    """Per-image, per-channel z-norm over the spatial dims (DataLoader.py:357-360)."""
-    mean = np.mean(img, axis=(0, 1))
-    std = np.std(img, axis=(0, 1))
-    return (img - mean) / std
+    """Per-image, per-channel z-norm over the spatial dims (DataLoader.py:357-360).
+
+    Stats via cv2.meanStdDev (SIMD, f64 accumulators — numpy's np.std was
+    22 ms of a 23 ms warm __getitem__ at 512², LOADER_BENCH.json) and an
+    in-place f32 normalise; same population-std definition as np.std."""
+    import cv2
+
+    arr = np.asarray(img)
+    if arr.ndim == 2 or (arr.ndim == 3 and arr.shape[2] <= 4):
+        mean, std = cv2.meanStdDev(arr)
+        c = 1 if arr.ndim == 2 else arr.shape[2]
+        mean = mean.reshape(-1)[:c].astype(np.float32)
+        std = std.reshape(-1)[:c].astype(np.float32)
+        out = arr.astype(np.float32, copy=True)
+        if arr.ndim == 2:
+            out -= mean[0]
+            out /= std[0]
+        else:
+            out -= mean
+            out /= std
+        return out
+    mean = np.mean(arr, axis=(0, 1))
+    std = np.std(arr, axis=(0, 1))
+    return (arr - mean) / std
 
 
 def to_model_input(img: np.ndarray) -> np.ndarray:
