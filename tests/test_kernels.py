@@ -182,3 +182,48 @@ def test_flash_attention_grad_matches_reference():
     for a, b in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_masked_attention_kernels_match_reference():
+    """key_padding_mask now stays on the fused kernels (bias formulation);
+    fwd+grad parity vs the masked einsum reference (interpret mode)."""
+    import numpy as np
+
+    import jax
+
+    from unet_torch_tpu.kernels.attention import (
+        _attention_flash_masked_diff,
+        _attention_masked_diff,
+    )
+
+    rng = np.random.RandomState(3)
+    b, h, nq, nk, d = 2, 3, 70, 90, 32
+    q = jnp.asarray(rng.randn(b, h, nq, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, nk, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, nk, d), jnp.float32)
+    mask = np.zeros((b, nk), bool)
+    mask[0, 60:] = True
+    mask[1, 75:] = True
+    bias = jnp.where(jnp.asarray(mask), -1e30, 0.0).astype(jnp.float32)
+    scale = d ** -0.5
+
+    def ref(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        s = jnp.where(jnp.asarray(mask)[:, None, None, :], -jnp.inf, s)
+        return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v)
+
+    expect = ref(q, k, v)
+    got_w = _attention_masked_diff(q, k, v, bias, scale, True)
+    got_f = _attention_flash_masked_diff(q, k, v, bias, scale, True)
+    np.testing.assert_allclose(np.asarray(got_w), np.asarray(expect),
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(expect),
+                               rtol=1e-4, atol=2e-5)
+
+    g_ref = jax.grad(lambda *a: jnp.sum(ref(*a) ** 2), (0, 1, 2))(q, k, v)
+    g_w = jax.grad(lambda *a: jnp.sum(
+        _attention_masked_diff(*a, bias, scale, True) ** 2), (0, 1, 2))(
+        q, k, v)
+    for a, e in zip(g_w, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-3, atol=1e-4)

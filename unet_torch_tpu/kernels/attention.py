@@ -40,7 +40,9 @@ def attention_reference(q, k, v, scale):
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def _attention_pallas(q, k, v, scale, interpret=False):
+def _attention_pallas(q, k, v, scale, bias=None, interpret=False):
+    """Whole-sequence kernel.  ``bias``: optional (B, Nk) additive score bias
+    (padding masks encode as -1e30 there), broadcast over heads/queries."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -50,14 +52,21 @@ def _attention_pallas(q, k, v, scale, interpret=False):
     qf = q.reshape(b * h, nq, dqk)
     kf = k.reshape(b * h, nk, dqk)
     vf = v.reshape(b * h, nk, dv)
+    has_bias = bias is not None
 
-    def kernel(q_ref, k_ref, v_ref, o_ref):
+    def kernel(*refs):
+        if has_bias:
+            q_ref, k_ref, v_ref, b_ref, o_ref = refs
+        else:
+            q_ref, k_ref, v_ref, o_ref = refs
         qb = q_ref[0].astype(jnp.float32)
         kb = k_ref[0].astype(jnp.float32)
         vb = v_ref[0]
         s = jax.lax.dot_general(
             qb, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
+        if has_bias:
+            s = s + b_ref[0].astype(jnp.float32)[None, :]
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -66,22 +75,28 @@ def _attention_pallas(q, k, v, scale, interpret=False):
             preferred_element_type=jnp.float32)
         o_ref[0] = o.astype(o_ref.dtype)
 
+    in_specs = [
+        pl.BlockSpec((1, nq, dqk), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nk, dqk), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nk, dv), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qf, kf, vf]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, nk), lambda i: (i // h, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias)
     out = pl.pallas_call(
         kernel,
         grid=(b * h,),
-        in_specs=[
-            pl.BlockSpec((1, nq, dqk), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk, dqk), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk, dv), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, nq, dv), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, nq, dv), q.dtype),
         interpret=interpret,
-    )(qf, kf, vf)
+    )(*args)
     return out.reshape(b, h, nq, dv)
 
 
@@ -91,7 +106,7 @@ def _ceil_to(x: int, m: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
                                              "interpret"))
-def _attention_flash(q, k, v, scale, block_q=256, block_k=512,
+def _attention_flash(q, k, v, scale, bias=None, block_q=256, block_k=512,
                      interpret=False):
     """Flash-tiled attention: online softmax over Nk tiles, so VMEM holds only
     (block_q x block_k) scores — arbitrary sequence lengths keep the fused
@@ -118,9 +133,16 @@ def _attention_flash(q, k, v, scale, block_q=256, block_k=512,
     if nk_p != nk:
         kf = jnp.pad(kf, ((0, 0), (0, nk_p - nk), (0, 0)))
         vf = jnp.pad(vf, ((0, 0), (0, nk_p - nk), (0, 0)))
+    has_bias = bias is not None
+    if has_bias and nk_p != nk:
+        bias = jnp.pad(bias, ((0, 0), (0, nk_p - nk)))
     n_k_tiles = nk_p // bk
 
-    def kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
+    def kernel(q_ref, k_ref, v_ref, *rest):
+        if has_bias:
+            b_ref, o_ref, m_scr, l_scr, acc_scr = rest
+        else:
+            o_ref, m_scr, l_scr, acc_scr = rest
         ki = pl.program_id(2)
 
         @pl.when(ki == 0)
@@ -133,6 +155,8 @@ def _attention_flash(q, k, v, scale, block_q=256, block_k=512,
         kb = k_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
+        if has_bias:
+            s = s + b_ref[0].astype(jnp.float32)[None, :]
         # mask padded K columns (global index >= true nk)
         col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < nk, s, -1e30)
@@ -152,17 +176,23 @@ def _attention_flash(q, k, v, scale, block_q=256, block_k=512,
         def _final():
             o_ref[0] = (acc_scr[...] / l_scr[...]).astype(o_ref.dtype)
 
+    in_specs = [
+        pl.BlockSpec((1, bq, dqk), lambda i, j, ki: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, dqk), lambda i, j, ki: (i, ki, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, dv), lambda i, j, ki: (i, ki, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qf, kf, vf]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, bk), lambda i, j, ki: (i // h, ki),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias)
     out = pl.pallas_call(
         kernel,
         grid=(b * h, nq_p // bq, n_k_tiles),
-        in_specs=[
-            pl.BlockSpec((1, bq, dqk), lambda i, j, ki: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, dqk), lambda i, j, ki: (i, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, dv), lambda i, j, ki: (i, ki, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bq, dv), lambda i, j, ki: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, nq_p, dv), q.dtype),
@@ -172,7 +202,7 @@ def _attention_flash(q, k, v, scale, block_q=256, block_k=512,
             pltpu.VMEM((bq, dv), jnp.float32),
         ],
         interpret=interpret,
-    )(qf, kf, vf)
+    )(*args)
     return out[:, :nq].reshape(b, h, nq, dv)
 
 
@@ -185,12 +215,12 @@ def _attention_diff_fwd(q, k, v, scale, interpret):
     return _attention_pallas(q, k, v, scale, interpret=interpret), (q, k, v)
 
 
-def _attention_diff_bwd(scale, interpret, res, g):
-    """Pallas forward / einsum backward: the backward recomputes the (small)
-    probability matrix and lets XLA fuse the four einsums — pallas_call itself
-    has no autodiff rule."""
-    q, k, v = res
+def _einsum_bwd(q, k, v, g, scale, bias=None):
+    """Shared backward: recompute the probability matrix (optionally biased)
+    and let XLA fuse the four einsums."""
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    if bias is not None:
+        s = s + bias[:, None, None, :]
     p = jax.nn.softmax(s, axis=-1)
     dv = jnp.einsum("bhqk,bhqd->bhkd", p, g)
     dp = jnp.einsum("bhqd,bhkd->bhqk", g, v)
@@ -198,6 +228,12 @@ def _attention_diff_bwd(scale, interpret, res, g):
     dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k) * scale
     dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q) * scale
     return dq, dk, dv
+
+
+def _attention_diff_bwd(scale, interpret, res, g):
+    """Pallas forward / einsum backward — pallas_call has no autodiff rule."""
+    q, k, v = res
+    return _einsum_bwd(q, k, v, g, scale)
 
 
 _attention_pallas_diff.defvjp(_attention_diff_fwd, _attention_diff_bwd)
@@ -215,6 +251,38 @@ def _attention_flash_fwd(q, k, v, scale, interpret):
 _attention_flash_diff.defvjp(_attention_flash_fwd, _attention_diff_bwd)
 
 
+def _masked_bwd(scale, interpret, res, g):
+    q, k, v, bias = res
+    dq, dk, dv = _einsum_bwd(q, k, v, g, scale, bias=bias)
+    return dq, dk, dv, jnp.zeros_like(bias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _attention_masked_diff(q, k, v, bias, scale, interpret):
+    return _attention_pallas(q, k, v, scale, bias=bias, interpret=interpret)
+
+
+def _attention_masked_fwd(q, k, v, bias, scale, interpret):
+    return (_attention_pallas(q, k, v, scale, bias=bias,
+                              interpret=interpret), (q, k, v, bias))
+
+
+_attention_masked_diff.defvjp(_attention_masked_fwd, _masked_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _attention_flash_masked_diff(q, k, v, bias, scale, interpret):
+    return _attention_flash(q, k, v, scale, bias=bias, interpret=interpret)
+
+
+def _attention_flash_masked_fwd(q, k, v, bias, scale, interpret):
+    return (_attention_flash(q, k, v, scale, bias=bias,
+                             interpret=interpret), (q, k, v, bias))
+
+
+_attention_flash_masked_diff.defvjp(_attention_flash_masked_fwd, _masked_bwd)
+
+
 def fused_attention(q, k, v, scale=None, key_padding_mask=None,
                     use_pallas=None, interpret=False):
     """q,k: (B,H,N,Dqk); v: (B,H,Nk,Dv) -> (B,H,Nq,Dv).
@@ -226,7 +294,7 @@ def fused_attention(q, k, v, scale=None, key_padding_mask=None,
         scale = q.shape[-1] ** -0.5
     flash = False
     if use_pallas is None:
-        use_pallas = _use_pallas_default() and key_padding_mask is None
+        use_pallas = _use_pallas_default()
         # whole-sequence kernel: q/k/v + the (Nq, Nk) score matrix must fit
         # VMEM (~16MB/core); longer sequences switch to the flash-tiled
         # kernel (online softmax over Nk tiles) instead of losing the fusion
@@ -235,12 +303,21 @@ def fused_attention(q, k, v, scale=None, key_padding_mask=None,
                           + nk * v.shape[3] + nq * v.shape[3])
         if vmem_bytes > 10 * 1024 * 1024:
             flash = use_pallas
-    if key_padding_mask is not None or not use_pallas:
+    if not use_pallas:
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
         if key_padding_mask is not None:
             s = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf, s)
         p = jax.nn.softmax(s, axis=-1)
         return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+    if key_padding_mask is not None:
+        # padding mask as an additive score bias (-1e30 on padding): the
+        # masked kernels keep the fused path for nested variable-size
+        # batches (r1 fell back to XLA whenever a mask was present)
+        bias = jnp.where(key_padding_mask, -1e30, 0.0).astype(jnp.float32)
+        if flash:
+            return _attention_flash_masked_diff(q, k, v, bias, float(scale),
+                                                interpret)
+        return _attention_masked_diff(q, k, v, bias, float(scale), interpret)
     if flash:
         return _attention_flash_diff(q, k, v, float(scale), interpret)
     return _attention_pallas_diff(q, k, v, float(scale), interpret)
