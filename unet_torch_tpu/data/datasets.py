@@ -73,6 +73,9 @@ class _Base:
         self._cache = {}
         self._cache_used = 0
         self._cache_limit = int(cache_bytes)
+        import threading
+
+        self._rng_lock = threading.Lock()
         if ch == -2 and normalizer is None:
             raise ValueError("channel=-2 needs a fitted MacenkoNormalizer "
                              "(reference fits on a hardcoded tile, "
@@ -95,6 +98,14 @@ class _Base:
             self._cache[key] = val
             self._cache_used += size
         return val
+
+    def _local_rng(self) -> np.random.RandomState:
+        """Per-call child RNG: np.random.RandomState is not thread-safe, and
+        __getitem__ runs concurrently under NumpyLoader num_workers — draw a
+        child seed under a lock, do all randomness on the child."""
+        with self._rng_lock:
+            seed = int(self.rng.randint(0, 2 ** 31 - 1))
+        return np.random.RandomState(seed)
 
     def _decode(self, img_path):
         return decode_image(img_path, self.channel, self.anydepth,
@@ -138,7 +149,7 @@ class DataBinary(_Base):
         image, label, gt_dot = self._raw(idx)
         if self.augmentation:
             image, label, gt_dot = basic_geometric([image, label, gt_dot],
-                                                   self.rng)
+                                                   self._local_rng())
         image = zoom_resize(image, self.height, self.width, order=3)
         label = zoom_resize(label, self.height, self.width, order=0)
         if self.return_gt_dot:
@@ -180,11 +191,12 @@ class DataReg(_Base):
 
         image, label = self._cached(("raw", idx), load)
         if self.augmentation:
-            image, label = basic_geometric([image, label], self.rng)
-            if self.photometric and self.rng.random_sample() > 0.25:
+            rng = self._local_rng()
+            image, label = basic_geometric([image, label], rng)
+            if self.photometric and rng.random_sample() > 0.25:
                 hm = [label] if label.ndim == 2 else \
                     [label[:, :, i] for i in range(label.shape[2])]
-                image, hm = pathology_augment_hm(image, hm, self.rng)
+                image, hm = pathology_augment_hm(image, hm, rng)
                 label = hm[0] if len(hm) == 1 else np.stack(hm, axis=-1)
         image = zoom_resize(image, self.height, self.width, order=3)
         label = zoom_resize(label, self.height, self.width, order=0)
@@ -214,9 +226,11 @@ class DataRegMT(_Base):
             return image, immune, other
 
         image, immune, other = self._cached(("raw", idx), load)
-        if self.augmentation and self.rng.random_sample() > 0.25:
-            image, (immune, other) = pathology_augment_hm(
-                image, [immune, other], self.rng)
+        if self.augmentation:
+            rng = self._local_rng()
+            if rng.random_sample() > 0.25:
+                image, (immune, other) = pathology_augment_hm(
+                    image, [immune, other], rng)
         image = zoom_resize(image, self.height, self.width, order=3)
         immune = zoom_resize(immune, self.height, self.width, order=0)
         other = zoom_resize(other, self.height, self.width, order=0)
@@ -247,7 +261,8 @@ class DataRegBinary(_Base):
 
         image, mask, reg = self._cached(("raw", idx), load)
         if self.augmentation:
-            image, mask, reg = basic_geometric([image, mask, reg], self.rng)
+            image, mask, reg = basic_geometric([image, mask, reg],
+                                               self._local_rng())
         image = zoom_resize(image, self.height, self.width, order=3)
         mask = zoom_resize(mask, self.height, self.width, order=0)
         reg = zoom_resize(reg, self.height, self.width, order=0)
@@ -266,9 +281,9 @@ class DataRandomCrop(_Base):
         self.train = train
         self.crop_size = crop_size
 
-    def _crop(self, img, label, gt_dot):
-        r = self.rng.randint(0, img.shape[0] - self.crop_size + 1)
-        c = self.rng.randint(0, img.shape[1] - self.crop_size + 1)
+    def _crop(self, img, label, gt_dot, rng):
+        r = rng.randint(0, img.shape[0] - self.crop_size + 1)
+        c = rng.randint(0, img.shape[1] - self.crop_size + 1)
         sl = np.s_[r: r + self.crop_size, c: c + self.crop_size]
         return img[sl], label[sl], gt_dot[sl]
 
@@ -288,10 +303,11 @@ class DataRandomCrop(_Base):
         image, label, gt_dot = self._cached(("raw", idx), load)
 
         if self.train:
-            image, label, gt_dot = self._crop(image, label, gt_dot)
+            rng = self._local_rng()
+            image, label, gt_dot = self._crop(image, label, gt_dot, rng)
             if self.augmentation:
                 image, label, gt_dot = basic_geometric(
-                    [image, label, gt_dot], self.rng)
+                    [image, label, gt_dot], rng)
             return (self._finalize_image(image),
                     np.asarray(label, np.int32),
                     np.asarray(gt_dot, np.float32))
@@ -299,7 +315,7 @@ class DataRandomCrop(_Base):
         pad_h = (-image.shape[0]) % self.crop_size
         pad_w = (-image.shape[1]) % self.crop_size
         image, label, gt_dot = pad_image([image, label, gt_dot], pad_w, pad_h,
-                                         self.rng)
+                                         self._local_rng())
         image = self._finalize_image(image)
         cs = self.crop_size
         tiles_i, tiles_l, tiles_d = [], [], []
@@ -377,7 +393,8 @@ class DataPointReg(_Base):
 
         if self.augmentation:
             image, gt_dot = self._cached(("raw", idx), load)
-            image, gt_dot = basic_geometric([image, gt_dot], self.rng)
+            image, gt_dot = basic_geometric([image, gt_dot],
+                                            self._local_rng())
             image = self._finalize_image(image)
         else:
             # deterministic full-image preprocess -> cache it finalized;
@@ -389,8 +406,9 @@ class DataPointReg(_Base):
             image, gt_dot = self._cached(("prep", idx), prep)
 
         if self.train:
-            r = self.rng.randint(0, image.shape[0] - self.crop_size + 1)
-            c = self.rng.randint(0, image.shape[1] - self.crop_size + 1)
+            rng = self._local_rng()
+            r = rng.randint(0, image.shape[0] - self.crop_size + 1)
+            c = rng.randint(0, image.shape[1] - self.crop_size + 1)
             sl = np.s_[r: r + self.crop_size, c: c + self.crop_size]
             img_patch, dot_patch = image[sl], gt_dot[sl]
             pts = np.argwhere(dot_patch > 0)  # (N, 2) y,x
