@@ -245,7 +245,8 @@ def _make_unet_state(batch, dtype, base=64, remat=False, n_classes=N_CLASSES,
     from unet_torch_tpu.train.state import TrainState
     from unet_torch_tpu.train.steps import make_single_steps
 
-    model = UNet(CHANNELS, n_classes, base, remat=remat, dtype=dtype)
+    model = UNet(CHANNELS, n_classes, base, remat=remat, fold=not remat,
+                 dtype=dtype)
     tx = make_optimizer("Adam", 1e-3, 0.0)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(batch, SIZE, SIZE, CHANNELS), jnp.float32)
@@ -279,7 +280,7 @@ def tpu_multitask(batch=8, steps=10):
     from unet_torch_tpu.train.state import TrainState
     from unet_torch_tpu.train.steps import make_multitask_steps
 
-    model = UNetMultitask(CHANNELS, 1, 64, dtype=jnp.bfloat16)
+    model = UNetMultitask(CHANNELS, 1, 64, fold=True, dtype=jnp.bfloat16)
     tx = make_optimizer("Adam", 1e-3, 0.0)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(batch, SIZE, SIZE, CHANNELS), jnp.float32)
@@ -376,7 +377,7 @@ def tpu_topo(batch=8, steps=5):
     from unet_torch_tpu.train.state import TrainState
     from unet_torch_tpu.train.steps import make_topo_steps
 
-    model = UNet(CHANNELS, 1, 64, dtype=jnp.bfloat16)
+    model = UNet(CHANNELS, 1, 64, fold=True, dtype=jnp.bfloat16)
     tx = make_optimizer("Adam", 1e-3, 0.0)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(batch, SIZE, SIZE, CHANNELS), jnp.float32)

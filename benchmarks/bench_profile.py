@@ -21,7 +21,8 @@ from collections import defaultdict
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_steps(batch: int, steps: int, log_dir: str, remat: bool = False):
+def run_steps(batch: int, steps: int, log_dir: str, remat: bool = False,
+              fold: bool = False):
     import numpy as np
 
     import jax
@@ -33,7 +34,7 @@ def run_steps(batch: int, steps: int, log_dir: str, remat: bool = False):
     from unet_torch_tpu.train.steps import make_single_steps
     from unet_torch_tpu.utils.debug import profile_trace
 
-    model = UNet(3, 3, 64, remat=remat, dtype=jnp.bfloat16)
+    model = UNet(3, 3, 64, remat=remat, fold=fold, dtype=jnp.bfloat16)
     tx = make_optimizer("Adam", 1e-3, 0.0)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(batch, 512, 512, 3), jnp.float32)
@@ -52,7 +53,12 @@ def run_steps(batch: int, steps: int, log_dir: str, remat: bool = False):
         float(loss)
 
 
-def parse_trace(log_dir: str, steps: int, top: int = 30):
+def parse_trace(log_dir: str, steps: int, top: int = 40):
+    """Aggregate device-lane op durations; events carry the optimized-HLO
+    metadata (long_name with shapes/layouts, hlo_category, bytes_accessed,
+    model_flops) so the report attributes time to categories and shapes."""
+    import re
+
     paths = glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not paths:
@@ -62,37 +68,40 @@ def parse_trace(log_dir: str, steps: int, top: int = 30):
         trace = json.load(f)
     durs = defaultdict(float)
     counts = defaultdict(int)
-    total = 0.0
+    meta = {}
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") != "X":
             continue
-        # device-lane events carry run ids / op names; skip host python lanes
         name = ev.get("name", "")
-        if not name or name.startswith(("$", "Thread", "process")):
-            continue
         args = ev.get("args") or {}
-        if "long_name" in args or "hlo_op" in args or True:
-            pass
-        dur = float(ev.get("dur", 0.0)) / 1e3  # us -> ms
-        pid = ev.get("pid", 0)
-        key = (pid, name)
-        durs[key] += dur
-        counts[key] += 1
-    # keep the pid with the largest total (the device compute lane)
-    by_pid = defaultdict(float)
-    for (pid, name), d in durs.items():
-        by_pid[pid] += d
-    if not by_pid:
-        print("empty trace")
+        if not name or "long_name" not in args:
+            continue
+        durs[name] += float(ev.get("dur", 0.0)) / 1e3  # us -> ms
+        counts[name] += 1
+        meta[name] = args
+    if not durs:
+        print("no annotated device events found")
         return
-    device_pid = max(by_pid, key=by_pid.get)
-    rows = [(d / steps, counts[(pid, n)], n) for (pid, n), d in durs.items()
-            if pid == device_pid]
-    rows.sort(reverse=True)
-    total = sum(r[0] for r in rows)
-    print(f"device lane pid={device_pid}: {total:.1f} ms/step total")
-    for ms, cnt, name in rows[:top]:
-        print(f"  {ms:8.3f} ms  x{cnt:<4d} {name[:110]}")
+    total = sum(durs.values()) / steps
+    bycat = defaultdict(float)
+    for n, d in durs.items():
+        bycat[meta[n].get("hlo_category", "?")] += d / steps
+    print(f"device total: {total:.1f} ms/step")
+    for c, d in sorted(bycat.items(), key=lambda kv: -kv[1]):
+        if d > 0.05:
+            print(f"  {d:7.2f} ms  {c}")
+    print()
+    rows = sorted(durs.items(), key=lambda kv: -kv[1])[:top]
+    for n, d in rows:
+        a = meta[n]
+        ms = d / steps
+        gb = float(a.get("bytes_accessed", 0)) / 1e9
+        gf = float(a.get("model_flops", 0)) / 1e9
+        m = re.match(r"%\S+ = (\S+?)[ (]", a.get("long_name", ""))
+        out = m.group(1)[:60] if m else "?"
+        print(f"  {ms:7.3f} ms x{counts[n] // steps:<2d} "
+              f"{a.get('hlo_category', '?')[:16]:<16} {gb:6.2f}GB "
+              f"{gf:6.0f}GF  {n[:24]:<24} {out}")
 
 
 def main():
@@ -100,10 +109,12 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--fold", action="store_true")
     ap.add_argument("--log-dir", default="")
     args = ap.parse_args()
     log_dir = args.log_dir or tempfile.mkdtemp(prefix="unet_prof_")
-    run_steps(args.batch, args.steps, log_dir, remat=args.remat)
+    run_steps(args.batch, args.steps, log_dir, remat=args.remat,
+              fold=args.fold)
     parse_trace(log_dir, args.steps)
 
 

@@ -1,0 +1,189 @@
+"""W-folded level-1 path (nn/folded.py) + the r3 perf VJPs (argmax max-pool,
+reverse-free conv-transpose) — equivalence against the plain implementations
+and against torch semantics.
+
+Reference ops: DoubleConv /root/reference/Model.py:7-26, MaxPool2d
+Model.py:33, ConvTranspose2d Model.py:59.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+
+from unet_torch_tpu.nn import blocks, folded
+
+
+def _leaf_paths(tree):
+    return [jtu.keystr(k) for k, _ in jtu.tree_leaves_with_path(tree)]
+
+
+# ---------------------------------------------------------------------------
+# max_pool_2x2: argmax custom VJP
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape", [(2, 8, 8, 4), (2, 9, 7, 4)])
+def test_argmax_pool_matches_default(rng, shape):
+    """The (unwired) argmax-VJP pool experiment agrees with the reshape-max
+    default on values, and on gradients wherever there are no ties."""
+    x = jnp.asarray(rng.randn(*shape), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(blocks._max_pool_2x2_argmax(x)),
+                                  np.asarray(blocks.max_pool_2x2(x)))
+    ga = jax.grad(lambda v: jnp.sum(jnp.cos(blocks.max_pool_2x2(v))))(x)
+    gb = jax.grad(
+        lambda v: jnp.sum(jnp.cos(blocks._max_pool_2x2_argmax(v))))(x)
+    # distinct float values -> no ties -> gradients agree exactly
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=0)
+
+
+def test_argmax_pool_tie_gradient_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    xq = np.round(rng.rand(3, 16, 16, 5) * 3) / 3  # quantized -> many ties
+    w = np.abs(rng.randn(3, 8, 8, 5)).astype(np.float32)
+    gj = jax.grad(
+        lambda v: jnp.sum(blocks._max_pool_2x2_argmax(v) * w))(
+            jnp.asarray(xq, jnp.float32))
+    t = torch.tensor(xq.transpose(0, 3, 1, 2), dtype=torch.float32,
+                     requires_grad=True)
+    (torch.nn.functional.max_pool2d(t, 2)
+     * torch.tensor(w.transpose(0, 3, 1, 2))).sum().backward()
+    np.testing.assert_allclose(np.asarray(gj),
+                               t.grad.numpy().transpose(0, 2, 3, 1), atol=0)
+
+
+def test_folded_pool_matches_plain(rng):
+    x = jnp.asarray(rng.randn(2, 16, 16, 8), jnp.float32)
+    ref = blocks.max_pool_2x2(x)
+    got = folded.max_pool_2x2_folded(folded.fold(x))
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    gr = jax.grad(lambda v: jnp.sum(jnp.sin(blocks.max_pool_2x2(v))))(x)
+    gf = jax.grad(lambda v: jnp.sum(jnp.sin(
+        folded.max_pool_2x2_folded(folded.fold(v)))))(x)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(gf), atol=0)
+
+
+# ---------------------------------------------------------------------------
+# conv_transpose_2x2: reverse-free custom VJP
+# ---------------------------------------------------------------------------
+
+def test_convt_vjp_matches_flax(rng):
+    from flax import linen as nn
+
+    x = jnp.asarray(rng.randn(2, 16, 12, 8), jnp.float32)
+    ref_m = nn.ConvTranspose(4, (2, 2), strides=(2, 2))
+    v = ref_m.init(jax.random.key(0), x)
+    got_m = blocks.TorchConvTranspose2x2(4)
+    np.testing.assert_array_equal(
+        np.asarray(ref_m.apply(v, x)),
+        np.asarray(got_m.apply({"params": v["params"]}, x)))
+
+    def loss(m, p, xx):
+        return jnp.sum(jnp.sin(m.apply({"params": p}, xx)))
+
+    gr = jax.grad(lambda p: loss(ref_m, p, x))(v["params"])
+    gg = jax.grad(lambda p: loss(got_m, p, x))(v["params"])
+    for k in ("kernel", "bias"):
+        np.testing.assert_allclose(np.asarray(gr[k]), np.asarray(gg[k]),
+                                   rtol=1e-5, atol=1e-5)
+    gxr = jax.grad(lambda xx: loss(ref_m, v["params"], xx))(x)
+    gxg = jax.grad(lambda xx: loss(got_m, v["params"], xx))(x)
+    np.testing.assert_allclose(np.asarray(gxr), np.asarray(gxg),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_folded_upconvt_matches_flax(rng):
+    from flax import linen as nn
+
+    x = jnp.asarray(rng.randn(2, 8, 8, 16), jnp.float32)
+    ref_m = nn.ConvTranspose(8, (2, 2), strides=(2, 2))
+    v = ref_m.init(jax.random.key(0), x)
+    got = folded.FoldedUpConvT(8).apply({"params": v["params"]}, x)
+    np.testing.assert_allclose(np.asarray(ref_m.apply(v, x)),
+                               np.asarray(folded.unfold(got)),
+                               rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# folded conv / full-model equivalence
+# ---------------------------------------------------------------------------
+
+def test_fold_kernel_conv_equivalence(rng):
+    from jax import lax
+
+    x = jnp.asarray(rng.randn(2, 12, 12, 6), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 6, 10) * 0.2, jnp.float32)
+    ref = lax.conv_general_dilated(x, k, (1, 1), ((1, 1), (1, 1)),
+                                   dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = folded.unfold(lax.conv_general_dilated(
+        folded.fold(x), folded.fold_kernel(k), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_unet_fold_equivalence(rng):
+    from unet_torch_tpu.models.unet import UNet
+
+    x = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    m0, m1 = UNet(3, 3, 8), UNet(3, 3, 8, fold=True)
+    v0 = m0.init(jax.random.key(0), x, train=False)
+    v1 = m1.init(jax.random.key(0), x, train=False)
+    assert _leaf_paths(v0) == _leaf_paths(v1)
+    for (_, a), (_, b) in zip(jtu.tree_leaves_with_path(v0),
+                              jtu.tree_leaves_with_path(v1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    np.testing.assert_allclose(np.asarray(m0.apply(v0, x, train=False)),
+                               np.asarray(m1.apply(v0, x, train=False)),
+                               atol=1e-4)
+    o0, mut0 = m0.apply(v0, x, train=True, mutable=["batch_stats"])
+    o1, mut1 = m1.apply(v0, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-4)
+    for (_, a), (_, b) in zip(jtu.tree_leaves_with_path(mut0),
+                              jtu.tree_leaves_with_path(mut1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_unet_fold_grad_equivalence(rng):
+    from unet_torch_tpu.models.unet import UNet
+
+    x = jnp.asarray(rng.randn(1, 16, 16, 3), jnp.float32)
+    m0, m1 = UNet(3, 2, 8), UNet(3, 2, 8, fold=True)
+    v = m0.init(jax.random.key(0), x, train=False)
+
+    def loss(m, p):
+        out, _ = m.apply({"params": p, "batch_stats": v["batch_stats"]},
+                         x, train=True, mutable=["batch_stats"])
+        return jnp.sum(jnp.sin(out))
+
+    g0 = jax.grad(lambda p: loss(m0, p))(v["params"])
+    g1 = jax.grad(lambda p: loss(m1, p))(v["params"])
+    for (_, a), (_, b) in zip(jtu.tree_leaves_with_path(g0),
+                              jtu.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_unet_fold_odd_size_fallback(rng):
+    """Sizes not divisible by 16 silently use the unfolded path — same params,
+    same results."""
+    from unet_torch_tpu.models.unet import UNet
+
+    x = jnp.asarray(rng.randn(1, 24, 24, 3), jnp.float32)
+    m0, m1 = UNet(3, 3, 8), UNet(3, 3, 8, fold=True)
+    v = m0.init(jax.random.key(0), x, train=False)
+    np.testing.assert_array_equal(
+        np.asarray(m0.apply(v, x, train=False)),
+        np.asarray(m1.apply(v, x, train=False)))
+
+
+def test_multitask_fold_equivalence(rng):
+    from unet_torch_tpu.models.unet import UNetMultitask
+
+    x = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.float32)
+    m0, m1 = UNetMultitask(3, 1, 8), UNetMultitask(3, 1, 8, fold=True)
+    v = m0.init(jax.random.key(1), x, train=False)
+    for a, b in zip(m0.apply(v, x, train=False), m1.apply(v, x, train=False)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

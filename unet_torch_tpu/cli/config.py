@@ -41,6 +41,11 @@ class ModelConfig:
     # (jax.checkpoint) — trades MXU FLOPs for HBM, unlocking larger batches.
     # The reference's use_checkpointing hook is dead code (Model.py:155-165).
     remat: bool = False
+    # TPU-specific: W-folded level-1 activations (nn/folded.py) — halves the
+    # HBM bytes of every C=base tensor (XLA pads C=64 to the 128-lane tile).
+    # Numerically equivalent (test_folded.py); auto-falls back on sizes not
+    # divisible by 16.  Default on: +5% measured train throughput at 512².
+    fold: bool = True
 
 
 @dataclasses.dataclass
@@ -112,6 +117,7 @@ class Config:
             dropout=bool(m.get("dropout", False)),
             anydepth=bool(m.get("anydepth", False)),
             remat=bool(m.get("remat", False)),
+            fold=bool(m.get("fold", True)),
         )
         seeds = t.get("seed", [0])
         if not isinstance(seeds, (list, tuple)):

@@ -134,6 +134,9 @@ def build_datasets_and_model(cfg: Config, seed: int):
     else:
         kw = {"remat": True} if (m.remat and mt in (
             "single", "regression")) else {}
+        if m.fold and mt in ("single", "regression", "multi_task",
+                             "multi_task_reg"):
+            kw["fold"] = True
         model = build_model(mt, n_channels=m.channel, n_classes=m.num_class,
                             base=m.initial_filter_size, dropout=m.dropout,
                             dropout_p=m.drop_out_rate, dtype=dtype, **kw)

@@ -37,6 +37,7 @@ class UNetEncoder(nn.Module):
     dropout_p: float = 0.5
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool) -> Sequence[jnp.ndarray]:
@@ -48,17 +49,30 @@ class UNetEncoder(nn.Module):
                     if self.remat else DoubleConv)
         down_cls = (nn.remat(Down, static_argnums=(2,))
                     if self.remat else Down)
-        inc = conv_cls(self.base, dtype=self.dtype, name="inc")
+        if self.fold:
+            # W-folded level 1 (nn/folded.py): inc runs on (B,H,W/2,2C)
+            # activations, down1 pools the folded tensor directly; x1 is
+            # returned FOLDED for the matching folded decoder.
+            from unet_torch_tpu.nn.folded import FoldedDoubleConv, fold
+            inc = FoldedDoubleConv(self.base, x.shape[-1], dtype=self.dtype,
+                                   name="inc")
+            x1 = inc(fold(x), train)
+            x2 = down_cls(self.base * 2, self.dropout, self.dropout_p,
+                          dtype=self.dtype, folded_input=True,
+                          name="down1")(x1, train)
+        else:
+            inc = conv_cls(self.base, dtype=self.dtype, name="inc")
+            x1 = inc(x, train)
+            x2 = down_cls(self.base * 2, self.dropout, self.dropout_p,
+                          dtype=self.dtype, name="down1")(x1, train)
         downs = [
             down_cls(self.base * m, self.dropout, self.dropout_p,
-                     dtype=self.dtype, name=f"down{i + 1}")
-            for i, m in enumerate((2, 4, 8, 16))
+                     dtype=self.dtype, name=f"down{i + 2}")
+            for i, m in enumerate((4, 8, 16))
         ]
-        x1 = inc(x, train)
-        x2 = downs[0](x1, train)
-        x3 = downs[1](x2, train)
-        x4 = downs[2](x3, train)
-        x5 = downs[3](x4, train)
+        x3 = downs[0](x2, train)
+        x4 = downs[1](x3, train)
+        x5 = downs[2](x4, train)
         return x1, x2, x3, x4, x5
 
 
@@ -69,6 +83,7 @@ class UNetDecoder(nn.Module):
     dropout_p: float = 0.5
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
+    fold: bool = False
 
     @nn.compact
     def __call__(self, feats, *, train: bool):
@@ -80,6 +95,13 @@ class UNetDecoder(nn.Module):
                    dtype=self.dtype, name="up2")(x, x3, train)
         x = up_cls(self.base * 2, self.dropout, self.dropout_p,
                    dtype=self.dtype, name="up3")(x, x2, train)
+        if self.fold:
+            # x1 arrives W-folded from the folded encoder (nn/folded.py).
+            from unet_torch_tpu.nn.folded import FoldedUp, _FoldedOutConvWrap
+            x = FoldedUp(self.base, self.dropout, self.dropout_p,
+                         dtype=self.dtype, name="up4")(x, x1, train)
+            return _FoldedOutConvWrap(self.n_classes, self.base,
+                                      dtype=self.dtype, name="outc")(x)
         x = up_cls(self.base, self.dropout, self.dropout_p,
                    dtype=self.dtype, name="up4")(x, x1, train)
         return OutConv(self.n_classes, dtype=self.dtype, name="outc")(x)
@@ -95,14 +117,22 @@ class UNet(nn.Module):
     dropout_p: float = 0.5
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        # W-folding needs every pyramid level even (H, W divisible by 16) and
+        # is not composed with remat; param trees are identical either way, so
+        # the fallback branch shares the same checkpoint.
+        fold = (self.fold and not self.remat
+                and x.shape[1] % 16 == 0 and x.shape[2] % 16 == 0)
         feats = UNetEncoder(self.base, self.dropout, self.dropout_p, self.remat,
-                            dtype=self.dtype, name="encoder")(x, train=train)
+                            dtype=self.dtype, fold=fold,
+                            name="encoder")(x, train=train)
         return UNetDecoder(self.base, self.n_classes, self.dropout,
                            self.dropout_p, remat=self.remat,
-                           dtype=self.dtype, name="decoder")(feats, train=train)
+                           dtype=self.dtype, fold=fold,
+                           name="decoder")(feats, train=train)
 
 
 class UNetMultitask(nn.Module):
@@ -114,15 +144,17 @@ class UNetMultitask(nn.Module):
     dropout: bool = False
     dropout_p: float = 0.5
     dtype: jnp.dtype = jnp.float32
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        feats = UNetEncoder(self.base, dtype=self.dtype, name="encoder")(
-            x, train=train)
+        fold = (self.fold and x.shape[1] % 16 == 0 and x.shape[2] % 16 == 0)
+        feats = UNetEncoder(self.base, dtype=self.dtype, fold=fold,
+                            name="encoder")(x, train=train)
         out1 = UNetDecoder(self.base, self.n_classes, dtype=self.dtype,
-                           name="decoder1")(feats, train=train)
+                           fold=fold, name="decoder1")(feats, train=train)
         out2 = UNetDecoder(self.base, self.n_classes, dtype=self.dtype,
-                           name="decoder2")(feats, train=train)
+                           fold=fold, name="decoder2")(feats, train=train)
         return out1, out2
 
 
@@ -176,7 +208,10 @@ def build_model(model_type: str, *, n_channels: int, n_classes: int, base: int =
     if model_type in ("single", "regression", "TransUnet_unet_fallback"):
         return UNet(n_in, n_classes, base, dropout, dropout_p, dtype=dtype, **kw)
     if model_type in ("multi_task", "multi_task_reg"):
-        return UNetMultitask(n_in, n_classes, base, dropout, dropout_p, dtype=dtype)
+        return UNetMultitask(n_in, n_classes, base, dropout, dropout_p,
+                             dtype=dtype, **kw)
     if model_type == "attention":
-        return UNetAttention(n_in, n_classes, base, dropout, dropout_p, dtype=dtype)
+        kw.pop("fold", None)  # attention gates read the skip unfolded
+        return UNetAttention(n_in, n_classes, base, dropout, dropout_p,
+                             dtype=dtype, **kw)
     raise ValueError(f"Invalid model_type {model_type!r}")

@@ -151,16 +151,147 @@ class FastConvTranspose2x2(nn.Module):
 
 
 def max_pool_2x2(x):
-    """2x2/stride-2 max pool as a reshape-max: XLA lowers the backward to an
-    equality-mask fusion instead of select_and_scatter (7 ms/step in the r2
-    profile).  Tie semantics: gradient splits equally among tied maxima
-    (torch's select_and_scatter picks the first); subgradient either way."""
+    """2x2/stride-2 max pool as a reshape-max.  Backward is an equality-mask
+    fusion; gradient splits equally among tied maxima (torch's
+    select_and_scatter picks the first; subgradient either way — trained
+    outcome parity verified, PARITY_DICE.json).  Reference op:
+    /root/reference/Model.py:33 (nn.MaxPool2d(2); torch floors odd trailing
+    rows/cols).
+
+    MEASURED (r3, UNet-64 bf16 b16 512²): the argmax custom VJP below
+    (_max_pool_2x2_argmax) is 7.5% SLOWER end-to-end (76.7 vs 82.9 img/s,
+    benchmarks/bench_variants.py) — the strided window slices + gradient
+    interleave cost more than the eq-mask broadcasts they replace — so this
+    reshape-max stays the default."""
     b, h, w, c = x.shape
     if h % 2 or w % 2:
         # torch MaxPool2d(2,2) floors: the trailing odd row/col is ignored
         x = x[:, :h - h % 2, :w - w % 2, :]
         h, w = x.shape[1], x.shape[2]
     return x.reshape(b, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
+
+
+_max_pool_2x2_eq = max_pool_2x2  # oracle alias used by the experiment tests
+
+
+def _pool_window_slices(x):
+    return (x[:, 0::2, 0::2, :], x[:, 0::2, 1::2, :],
+            x[:, 1::2, 0::2, :], x[:, 1::2, 1::2, :])
+
+
+@jax.custom_vjp
+def _max_pool_2x2_argmax_even(x):
+    x00, x01, x10, x11 = _pool_window_slices(x)
+    return jnp.maximum(jnp.maximum(x00, x01), jnp.maximum(x10, x11))
+
+
+def _max_pool_2x2_fwd(x):
+    x00, x01, x10, x11 = _pool_window_slices(x)
+    m = jnp.maximum(jnp.maximum(x00, x01), jnp.maximum(x10, x11))
+    # first-match index in row-major window order (torch semantics); computed
+    # in the same elementwise pass as the max (one read of x).
+    idx = jnp.where(
+        x00 == m, jnp.uint8(0),
+        jnp.where(x01 == m, jnp.uint8(1),
+                  jnp.where(x10 == m, jnp.uint8(2), jnp.uint8(3))))
+    return m, idx
+
+
+def _max_pool_2x2_bwd(idx, dy):
+    b, h2, w2, c = dy.shape
+    zero = jnp.zeros_like(dy)
+    g = [jnp.where(idx == k, dy, zero) for k in range(4)]
+    # interleave the four masked grads back onto the input grid:
+    # row r of each window gets (g[2r], g[2r+1]) stacked along a new W axis.
+    row0 = jnp.stack([g[0], g[1]], axis=3).reshape(b, h2, 2 * w2, c)
+    row1 = jnp.stack([g[2], g[3]], axis=3).reshape(b, h2, 2 * w2, c)
+    dx = jnp.stack([row0, row1], axis=2).reshape(b, 2 * h2, 2 * w2, c)
+    return (dx,)
+
+
+_max_pool_2x2_argmax_even.defvjp(_max_pool_2x2_fwd, _max_pool_2x2_bwd)
+
+
+def _max_pool_2x2_argmax(x):
+    """2x2/stride-2 max pool with an argmax-index custom VJP and torch-exact
+    tie semantics (first maximum in row-major window order).
+
+    EXPERIMENT, NOT WIRED: measured 7.5% slower end-to-end than the
+    reshape-max default (76.7 vs 82.9 img/s, UNet-64 bf16 b16 512²,
+    benchmarks/bench_variants.py v_pool) — the four strided window slices in
+    the forward and the stack/reshape gradient interleave in the backward
+    outweigh the eq-mask broadcasts they remove.  Kept oracle-tested
+    (tests/test_folded.py) as the torch-exact-tie reference.
+    """
+    _, h, w, _ = x.shape
+    if h % 2 or w % 2:
+        x = x[:, :h - h % 2, :w - w % 2, :]
+    return _max_pool_2x2_argmax_even(x)
+
+
+@jax.custom_vjp
+def conv_transpose_2x2(x, k):
+    """ConvTranspose k=2 s=2 'SAME' with a hand-written reverse-free VJP.
+
+    EXPERIMENT, NOT WIRED: forward is bit-identical to flax nn.ConvTranspose
+    ((2,2), strides=(2,2)) — an lhs-dilated conv with pad (1,1) — and the VJP
+    replaces XLA autodiff's full spatial `reverse` ops on gradient
+    activations (4.7 ms/step in the r2 profile) with a stride-2 VALID conv
+    (dx) and the standard wgrad conv (dk).  MEASURED 1% slower end-to-end
+    (82.0 vs 82.9 img/s, benchmarks/bench_variants.py v_convt): XLA's
+    reverse+dilated-conv backward beats these conv forms despite the extra
+    data movement.  Oracle-tested in tests/test_folded.py; the *folded*
+    decoder path (nn/folded.py FoldedUpConvT) avoids the reverses for real.
+    Reference op: ConvTranspose2d(C, C//2, 2, 2) at /root/reference/Model.py:59.
+    """
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((1, 1), (1, 1)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _convt2x2_fwd(x, k):
+    return conv_transpose_2x2(x, k), (x, k)
+
+
+def _convt2x2_bwd(res, dy):
+    x, k = res
+    # y[b,2h+u,2w+v,o] = sum_c x[b,h,w,c] k[1-u,1-v,c,o]  (non-overlapping)
+    # dx[b,h,w,c] = sum_{u,v,o} dy[b,2h+u,2w+v,o] k[1-u,1-v,c,o]
+    kk = jnp.flip(k, (0, 1)).transpose(0, 1, 3, 2)  # (u,v,O->in,C->out)
+    dx = jax.lax.conv_general_dilated(
+        dy, kk.astype(dy.dtype), (2, 2), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # dk[r,s,c,o] = sum_{b,h,w} x[b,h,w,c] dy[b,2h+1-r,2w+1-s,o]: the wgrad
+    # conv — x lhs-dilated by 2 and padded (1,1), dy as the sliding kernel,
+    # batch contracted as the feature dim (XLA's native wgrad pattern).
+    dk = jax.lax.conv_general_dilated(
+        x, dy, (1, 1), ((1, 1), (1, 1)), lhs_dilation=(2, 2),
+        dimension_numbers=("CHWN", "IHWO", "HWNC"),
+        preferred_element_type=jnp.float32)
+    return dx, dk.astype(k.dtype)
+
+
+conv_transpose_2x2.defvjp(_convt2x2_fwd, _convt2x2_bwd)
+
+
+class TorchConvTranspose2x2(nn.Module):
+    """Drop-in for nn.ConvTranspose((2,2), strides=(2,2)) with the
+    reverse-free custom VJP above (same param tree {kernel, bias}, same
+    numerics).  NOT WIRED — see the conv_transpose_2x2 measurement note."""
+
+    features: int
+    kernel_init: callable = torch_convt_kernel_init
+    bias_init: callable = nn.initializers.zeros
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (2, 2, c, self.features))
+        bias = self.param("bias", self.bias_init, (self.features,))
+        y = conv_transpose_2x2(x.astype(self.dtype), kernel.astype(self.dtype))
+        return y + bias.astype(self.dtype)
 
 
 class DoubleConv(nn.Module):
@@ -194,16 +325,26 @@ class DoubleConv(nn.Module):
 
 
 class Down(nn.Module):
-    """2x2 max-pool (stride 2), optional dropout, then DoubleConv."""
+    """2x2 max-pool (stride 2), optional dropout, then DoubleConv.
+
+    folded_input=True consumes a W-folded (B,H,W/2,2C) tensor (nn/folded.py)
+    and pools it straight back to the unfolded (B,H/2,W/2,C) grid — the
+    W-pair max is a free lane-half max.  Param tree is identical either way.
+    """
 
     features: int
     dropout: bool = False
     dropout_p: float = 0.5
     dtype: jnp.dtype = jnp.float32
+    folded_input: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = max_pool_2x2(x)
+        if self.folded_input:
+            from unet_torch_tpu.nn.folded import max_pool_2x2_folded
+            x = max_pool_2x2_folded(x)
+        else:
+            x = max_pool_2x2(x)
         if self.dropout:
             x = nn.Dropout(self.dropout_p, deterministic=not train)(x)
         return DoubleConv(self.features, dtype=self.dtype)(x, train=train)
@@ -224,9 +365,10 @@ class Up(nn.Module):
     @nn.compact
     def __call__(self, x1, x2, train: bool = False):
         c = x1.shape[-1]
-        # NB: a matmul+depth-to-space formulation (FastConvTranspose2x2) was
-        # measured SLOWER than XLA's dilated conv here (80.4 vs 82.8 img/s,
-        # r2) — the space interleave costs more than the dilated taps save.
+        # NB: both alternative formulations measured SLOWER than XLA's
+        # dilated conv here: matmul+depth-to-space (FastConvTranspose2x2,
+        # 80.4 vs 82.8 img/s, r2) and the reverse-free custom VJP
+        # (conv_transpose_2x2, 82.0 vs 82.9, r3 bench_variants.py).
         x1 = nn.ConvTranspose(
             c // 2, (2, 2), strides=(2, 2), dtype=self.dtype,
             kernel_init=torch_convt_kernel_init,

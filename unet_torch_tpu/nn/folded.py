@@ -1,0 +1,278 @@
+"""W-folded level-1 blocks: kill the 2x lane-padding tax on C=64 tensors.
+
+XLA lays (B,H,W,64) bf16 activations out as T(8,128) tiles with C=64 in the
+128-lane minor dim -> every byte of level-1 traffic pays a 2x padding
+expansion (r1/r2 profiles: ~105 ms of the 191 ms UNet-64 b16 step lives in
+inc/up4/outc/down1).  These modules keep the level-1 activations in a
+*W-folded* layout (B, H, W/2, 2C) end to end — adjacent W-pixel pairs packed
+into the lane dim — so every elementwise/BN/pool op moves half the bytes and
+the 3x3 convs contract over dense 128-lane tiles.
+
+The folded conv kernel construction (fold_kernel) restructures a (3,3,Ci,Co)
+kernel into (3,3,2Ci,2Co): output position 2t+k_out reads input 2(t+dwf)+k_in
+where k_in = k_out + dw - 2*dwf; structural holes are zeros.  Equivalence is
+oracle-tested (tests/test_folded.py) and was measured 1.05x fwd / 1.21x grad
+vs the unfolded conv on the pure level-1 chain (benchmarks/bench_fold.py).
+
+Param trees are IDENTICAL to the unfolded blocks (kernels stored unfolded,
+folding happens in-trace on the tiny weight tensors), so checkpoints, torch
+imports and the init RNG stream are unchanged.
+
+Reference ops: DoubleConv /root/reference/Model.py:7-26, MaxPool2d
+Model.py:33, ConvTranspose2d(k=2,s=2) Model.py:59, OutConv Model.py:86-92.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+from unet_torch_tpu.nn.blocks import (TPUBatchNorm, kaiming_normal,
+                                      torch_convt_kernel_init,
+                                      torch_uniform_init)
+
+# (k_out, [(dw, k_in, dwf), ...]): folded-tap map for a width-3 kernel.
+_FOLD_MAP = {
+    0: [(-1, 1, -1), (0, 0, 0), (1, 1, 0)],
+    1: [(-1, 0, 0), (0, 1, 0), (1, 0, 1)],
+}
+
+
+def fold_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,Ci,Co) conv kernel -> (3,3,2Ci,2Co) W-folded-layout kernel."""
+    kh, kw, ci, co = k.shape
+    assert kw == 3
+    kf = jnp.zeros((kh, 3, 2 * ci, 2 * co), k.dtype)
+    for k_out, entries in _FOLD_MAP.items():
+        for dw, k_in, dwf in entries:
+            kf = kf.at[:, dwf + 1, k_in * ci:(k_in + 1) * ci,
+                       k_out * co:(k_out + 1) * co].set(k[:, dw + 1])
+    return kf
+
+
+def fold(x: jnp.ndarray) -> jnp.ndarray:
+    """(B,H,W,C) -> (B,H,W//2,2C): W-pixel pairs into the lane dim."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // 2, 2 * c)
+
+
+def unfold(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, w2, c2 = x.shape
+    return x.reshape(b, h, w2 * 2, c2 // 2)
+
+
+class FoldedConv3x3(nn.Module):
+    """3x3 SAME conv on a W-folded tensor.  Param tree == nn.Conv(features,
+    (3,3), use_bias=False): a single unfolded 'kernel' (3,3,Ci,Co)."""
+
+    features: int
+    in_features: int
+    in_perm: Optional[tuple] = None  # reorder folded input chans (concat case)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xf):
+        k = self.param("kernel", kaiming_normal,
+                       (3, 3, self.in_features, self.features))
+        kf = fold_kernel(k.astype(self.dtype))
+        if self.in_perm is not None:
+            kf = kf[:, :, jnp.asarray(self.in_perm), :]
+        return lax.conv_general_dilated(
+            xf.astype(self.dtype), kf, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class FoldedBatchNorm(TPUBatchNorm):
+    """TPUBatchNorm over a W-folded tensor: stats reduce over both W-parity
+    slots of each channel; the affine apply tiles (scale, shift) across the
+    two slots.  Param/stat trees identical to TPUBatchNorm (C-sized)."""
+
+    @nn.compact
+    def __call__(self, xf):
+        c2 = xf.shape[-1]
+        features = c2 // 2
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(features, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            # Reduce the folded tensor at full 2C lane width and combine the
+            # two W-parity halves on the tiny (2C,) vector.  (Reducing a
+            # (...,2,C) reshape instead materialises half-width padded
+            # intermediates in the backward — measured 9 ms/step of
+            # divide_multiply fusions at 512² b16.)
+            xff = xf.astype(jnp.float32)
+            axes = tuple(range(xf.ndim - 1))
+            m2 = jnp.mean(xff, axis=axes)
+            s2 = jnp.mean(xff * xff, axis=axes)
+            mean = 0.5 * (m2[:features] + m2[features:])
+            var = jnp.maximum(
+                0.5 * (s2[:features] + s2[features:]) - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value +
+                                 (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value +
+                                (1.0 - self.momentum) * var)
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        mul = jnp.tile(inv.astype(xf.dtype), 2)
+        add = jnp.tile((bias - mean * inv).astype(xf.dtype), 2)
+        return xf * mul + add
+
+
+class FoldedDoubleConv(nn.Module):
+    """(FoldedConv3x3 -> FoldedBatchNorm -> ReLU) x2.  Param tree ==
+    DoubleConv (Conv_0/BatchNorm_0/Conv_1/BatchNorm_1)."""
+
+    features: int
+    in_features: int
+    mid_features: Optional[int] = None
+    in_perm: Optional[tuple] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xf, train: bool = False):
+        mid = self.mid_features or self.features
+        chans = ((self.in_features, mid), (mid, self.features))
+        for i, (cin, feats) in enumerate(chans):
+            xf = FoldedConv3x3(feats, cin,
+                               in_perm=self.in_perm if i == 0 else None,
+                               dtype=self.dtype, name=f"Conv_{i}")(xf)
+            xf = FoldedBatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name=f"BatchNorm_{i}")(xf)
+            xf = nn.relu(xf)
+        return xf
+
+
+# ---------------------------------------------------------------------------
+# Folded 2x2 max pool: (B,H,W2,2C) folded in -> (B,H/2,W2,C) unfolded-pooled
+# out.  The W-pair max is an elementwise max between the two lane halves; the
+# H-pair max is a reshape-max, mirroring blocks.max_pool_2x2 (plain autodiff
+# backward — the argmax custom VJP measured slower, see blocks.max_pool_2x2).
+# ---------------------------------------------------------------------------
+
+def max_pool_2x2_folded(xf):
+    b, h, w2, c2 = xf.shape
+    c = c2 // 2
+    # H-pair reshape-max first (full-lane op on the big tensor), then the
+    # W-pair lane-half max on the 2x smaller result: the lane split is the
+    # only sub-tile op and it touches 1/2 the bytes this way (measured
+    # slice_maximum_fusion 2.3 ms -> ~1 ms at 512² b16).
+    mh = xf.reshape(b, h // 2, 2, w2, c2).max(axis=2)
+    return jnp.maximum(mh[..., :c], mh[..., c:])
+
+
+class FoldedUpConvT(nn.Module):
+    """ConvTranspose k=2 s=2 from an unfolded input straight into the folded
+    output layout.  y[b,2h+r,2w+s,o] = x[b,h,w,:] @ k[1-r,1-s,:,o] (the k=s=2
+    non-overlap identity, see blocks.conv_transpose_2x2), so the folded output
+    row of parity r is ONE dense (C, 2*Co) matmul — MXU-perfect, no
+    lhs-dilation, no reverse, and the W-interleave is free (W stays folded).
+    Param tree == nn.ConvTranspose((2,2),(2,2)): kernel (2,2,Ci,Co) + bias."""
+
+    features: int
+    kernel_init: callable = torch_convt_kernel_init
+    bias_init: callable = nn.initializers.zeros
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        co = self.features
+        kernel = self.param("kernel", self.kernel_init, (2, 2, c, co))
+        bias = self.param("bias", self.bias_init, (co,))
+        krev = kernel[::-1, ::-1].astype(self.dtype)      # [1-r,1-s]
+        k2 = krev.transpose(0, 2, 1, 3).reshape(2, c, 2 * co)
+        x = x.astype(self.dtype)
+        b, h, w, _ = x.shape
+        rows = [jnp.einsum("bhwc,cd->bhwd", x, k2[r]) for r in range(2)]
+        yf = jnp.stack(rows, axis=2).reshape(b, 2 * h, w, 2 * co)
+        return yf + jnp.tile(bias.astype(self.dtype), 2)
+
+
+def _concat_perm(c_skip: int, c_up: int) -> tuple:
+    """Folded-channel permutation mapping [skip_s0|skip_s1|up_s0|up_s1] data
+    layout onto the standard fold of the unfolded concat [skip|up]."""
+    import numpy as np
+    ctot = c_skip + c_up
+    perm = np.concatenate([
+        np.arange(0, c_skip),                      # skip slot0
+        np.arange(ctot, ctot + c_skip),            # skip slot1
+        np.arange(c_skip, c_skip + c_up),          # up   slot0
+        np.arange(ctot + c_skip, ctot + c_skip + c_up),  # up slot1
+    ])
+    # data layout index j holds standard-fold channel perm[j]; FoldedConv3x3
+    # indexes the folded kernel's input axis with this map.
+    return tuple(int(v) for v in perm)
+
+
+class FoldedUp(nn.Module):
+    """Up block producing a folded output: FoldedUpConvT -> folded concat with
+    the (already folded) skip -> FoldedDoubleConv.  Param tree == Up."""
+
+    features: int
+    dropout: bool = False
+    dropout_p: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2f, train: bool = False):
+        c = x1.shape[-1]
+        x1f = FoldedUpConvT(
+            c // 2, dtype=self.dtype, kernel_init=torch_convt_kernel_init,
+            bias_init=torch_uniform_init((c // 2) * 4),
+            name="ConvTranspose_0")(x1)
+        # spatial pad-to-match (Model.py:69-73) never triggers for the even
+        # power-of-two sizes the folded path requires (guarded in UNet).
+        xf = jnp.concatenate([x2f, x1f], axis=-1)
+        if self.dropout:
+            xf = nn.Dropout(self.dropout_p, deterministic=not train)(xf)
+        c_skip = x2f.shape[-1] // 2
+        return FoldedDoubleConv(
+            self.features, c_skip + c // 2,
+            in_perm=_concat_perm(c_skip, c // 2),
+            dtype=self.dtype, name="DoubleConv_0")(xf, train=train)
+
+
+class FoldedOutConv(nn.Module):
+    """1x1 conv head on a folded input; returns UNFOLDED logits.  Param tree
+    == OutConv (Conv_0: kernel (1,1,Ci,n), bias)."""
+
+    features: int
+    in_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xf):
+        k = self.param("kernel", kaiming_normal,
+                       (1, 1, self.in_features, self.features))
+        bias = self.param("bias", torch_uniform_init(self.in_features),
+                          (self.features,))
+        b, h, w2, _ = xf.shape
+        xr = xf.astype(self.dtype).reshape(b, h, w2, 2, self.in_features)
+        y = jnp.einsum("bhwsc,co->bhwso", xr, k[0, 0].astype(self.dtype))
+        y = y + bias.astype(self.dtype)
+        return y.reshape(b, h, w2 * 2, self.features)
+
+
+class _FoldedOutConvWrap(nn.Module):
+    """Nests FoldedOutConv's params under Conv_0 to mirror OutConv's tree."""
+
+    features: int
+    in_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xf):
+        return FoldedOutConv(self.features, self.in_features,
+                             dtype=self.dtype, name="Conv_0")(xf)
