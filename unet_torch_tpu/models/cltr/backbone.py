@@ -36,7 +36,9 @@ class FrozenBatchNorm(nn.Module):
         var = self.variable("batch_stats", "running_var",
                             lambda: jnp.ones(self.features)).value
         scale = weight / jnp.sqrt(var + 1e-5)
-        return x * scale + (bias - mean * scale)
+        # cast the per-channel affine to the activation dtype so bf16 compute
+        # is not silently promoted to f32 (stats stay f32)
+        return x * scale.astype(x.dtype) + (bias - mean * scale).astype(x.dtype)
 
 
 class Bottleneck(nn.Module):

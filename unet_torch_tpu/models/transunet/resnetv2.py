@@ -66,18 +66,21 @@ class PreActBottleneck(nn.Module):
                                name="downsample")(x)
             # reference uses GroupNorm(cout, cout) here (per-channel groups)
             residual = nn.GroupNorm(num_groups=self.cout, epsilon=1e-5,
-                                    name="gn_proj")(residual)
+                                    dtype=self.dtype, name="gn_proj")(residual)
 
         y = StdConv(self.cmid, (1, 1), padding="VALID", dtype=self.dtype,
                     name="conv1")(x)
-        y = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-6, name="gn1")(y))
+        y = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
+                               name="gn1")(y))
         y = StdConv(self.cmid, (3, 3), (self.stride, self.stride),
                     padding=[(1, 1), (1, 1)], dtype=self.dtype,
                     name="conv2")(y)
-        y = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-6, name="gn2")(y))
+        y = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
+                               name="gn2")(y))
         y = StdConv(self.cout, (1, 1), padding="VALID", dtype=self.dtype,
                     name="conv3")(y)
-        y = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="gn3")(y)
+        y = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
+                               name="gn3")(y)
         return nn.relu(residual + y)
 
 
@@ -92,7 +95,8 @@ class ResNetV2(nn.Module):
         b, in_size = x.shape[0], x.shape[1]
         x = StdConv(width, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
                     dtype=self.dtype, name="root_conv")(x)
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="root_gn")(x)
+        x = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
+                         name="root_gn")(x)
         x = nn.relu(x)
         features = [x]
         # 3x3 stride-2 VALID max-pool (reference pads 0)

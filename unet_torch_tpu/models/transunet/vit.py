@@ -31,6 +31,7 @@ import numpy as np
 from flax import linen as nn
 
 from unet_torch_tpu.models.transunet.configs import CONFIGS
+from unet_torch_tpu.nn.blocks import TPUBatchNorm
 from unet_torch_tpu.models.transunet.resnetv2 import ResNetV2
 
 
@@ -137,13 +138,14 @@ class Block(nn.Module):
     def __call__(self, x, *, train: bool):
         c = self.config
         h = x
-        x = nn.LayerNorm(epsilon=1e-6, name="attention_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                         name="attention_norm")(x)
         x = Attention(c.transformer.num_heads, c.hidden_size,
                       c.transformer.attention_dropout_rate, dtype=self.dtype,
                       name="attn")(x, train=train)
         x = x + h
         h = x
-        x = nn.LayerNorm(epsilon=1e-6, name="ffn_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ffn_norm")(x)
         x = Mlp(c.transformer.mlp_dim, c.hidden_size,
                 c.transformer.dropout_rate, dtype=self.dtype,
                 name="ffn")(x, train=train)
@@ -196,7 +198,8 @@ class Encoder(nn.Module):
         for i in range(self.config.transformer.num_layers):
             x = Block(self.config, dtype=self.dtype,
                       name=f"encoderblock_{i}")(x, train=train)
-        return nn.LayerNorm(epsilon=1e-6, name="encoder_norm")(x)
+        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                            name="encoder_norm")(x)
 
 
 class Conv2dReLU(nn.Module):
@@ -214,8 +217,11 @@ class Conv2dReLU(nn.Module):
                     use_bias=not self.use_batchnorm, dtype=self.dtype,
                     name="conv")(x)
         if self.use_batchnorm:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
+            # f32 stats, compute-dtype apply (TPUBatchNorm docstring): flax
+            # nn.BatchNorm(dtype=f32) promoted every decoder BN+ReLU chain to
+            # f32 activations under bf16 compute — 2x HBM bytes.
+            x = TPUBatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
 
 

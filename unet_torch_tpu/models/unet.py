@@ -56,7 +56,7 @@ class UNetEncoder(nn.Module):
             from unet_torch_tpu.nn.folded import FoldedDoubleConv, fold
             inc = FoldedDoubleConv(self.base, x.shape[-1], dtype=self.dtype,
                                    name="inc")
-            x1 = inc(fold(x), train)
+            x1 = inc(fold(x), train=train)
             x2 = down_cls(self.base * 2, self.dropout, self.dropout_p,
                           dtype=self.dtype, folded_input=True,
                           name="down1")(x1, train)

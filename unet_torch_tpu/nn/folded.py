@@ -24,7 +24,7 @@ Model.py:33, ConvTranspose2d(k=2,s=2) Model.py:59, OutConv Model.py:86-92.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,23 +35,29 @@ from unet_torch_tpu.nn.blocks import (TPUBatchNorm, kaiming_normal,
                                       torch_convt_kernel_init,
                                       torch_uniform_init)
 
-# (k_out, [(dw, k_in, dwf), ...]): folded-tap map for a width-3 kernel.
-_FOLD_MAP = {
-    0: [(-1, 1, -1), (0, 0, 0), (1, 1, 0)],
-    1: [(-1, 0, 0), (0, 1, 0), (1, 0, 1)],
-}
-
-
 def fold_kernel(k: jnp.ndarray) -> jnp.ndarray:
-    """(3,3,Ci,Co) conv kernel -> (3,3,2Ci,2Co) W-folded-layout kernel."""
+    """(3,3,Ci,Co) conv kernel -> (3,3,2Ci,2Co) W-folded-layout kernel.
+
+    Folded tap j, input slot k_in, output slot k_out carries original tap
+    dw = k_out + dw - 2*dwf (derivation in the module docstring); laid out as
+    the (2x2)-block matrices
+        tap0 = [[0,  0 ], [k0, 0 ]]     (reads the previous folded column)
+        tap1 = [[k1, k0], [k2, k1]]     (centre)
+        tap2 = [[0,  k2], [0,  0 ]]     (next folded column)
+    built with stack/concat (a dynamic-update-slice chain builds the same
+    value but fuses worse)."""
     kh, kw, ci, co = k.shape
     assert kw == 3
-    kf = jnp.zeros((kh, 3, 2 * ci, 2 * co), k.dtype)
-    for k_out, entries in _FOLD_MAP.items():
-        for dw, k_in, dwf in entries:
-            kf = kf.at[:, dwf + 1, k_in * ci:(k_in + 1) * ci,
-                       k_out * co:(k_out + 1) * co].set(k[:, dw + 1])
-    return kf
+    k0, k1, k2 = k[:, 0], k[:, 1], k[:, 2]
+    z = jnp.zeros_like(k0)
+
+    def block(a00, a01, a10, a11):
+        return jnp.concatenate([
+            jnp.concatenate([a00, a01], axis=-1),
+            jnp.concatenate([a10, a11], axis=-1)], axis=-2)
+
+    taps = [block(z, z, k0, z), block(k1, k0, k2, k1), block(z, k2, z, z)]
+    return jnp.stack(taps, axis=1)
 
 
 def fold(x: jnp.ndarray) -> jnp.ndarray:
@@ -71,7 +77,6 @@ class FoldedConv3x3(nn.Module):
 
     features: int
     in_features: int
-    in_perm: Optional[tuple] = None  # reorder folded input chans (concat case)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -79,8 +84,6 @@ class FoldedConv3x3(nn.Module):
         k = self.param("kernel", kaiming_normal,
                        (3, 3, self.in_features, self.features))
         kf = fold_kernel(k.astype(self.dtype))
-        if self.in_perm is not None:
-            kf = kf[:, :, jnp.asarray(self.in_perm), :]
         return lax.conv_general_dilated(
             xf.astype(self.dtype), kf, (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -129,24 +132,56 @@ class FoldedBatchNorm(TPUBatchNorm):
         return xf * mul + add
 
 
+class FoldedConv3x3Pair(nn.Module):
+    """3x3 SAME conv over TWO folded inputs summed — the concat-free form of
+    conv(concat([a, b])): the stored kernel's input axis splits into the a-
+    and b- halves, each folded independently.  Avoids materialising the
+    folded concat forward AND the grad-splitting slice backward (1.65 ms at
+    512² b16).  Param tree == nn.Conv(features, (3,3), use_bias=False) on the
+    concatenated width."""
+
+    features: int
+    in_a: int
+    in_b: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, af, bf):
+        k = self.param("kernel", kaiming_normal,
+                       (3, 3, self.in_a + self.in_b, self.features))
+        ka = fold_kernel(k[:, :, :self.in_a].astype(self.dtype))
+        kb = fold_kernel(k[:, :, self.in_a:].astype(self.dtype))
+        conv = lambda x, kk: lax.conv_general_dilated(  # noqa: E731
+            x, kk, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return conv(af.astype(self.dtype), ka) + conv(bf.astype(self.dtype), kb)
+
+
 class FoldedDoubleConv(nn.Module):
     """(FoldedConv3x3 -> FoldedBatchNorm -> ReLU) x2.  Param tree ==
-    DoubleConv (Conv_0/BatchNorm_0/Conv_1/BatchNorm_1)."""
+    DoubleConv (Conv_0/BatchNorm_0/Conv_1/BatchNorm_1).  When `in_b` is set,
+    __call__ takes two folded tensors (the Up concat pair) and Conv_0 runs
+    concat-free (FoldedConv3x3Pair)."""
 
     features: int
     in_features: int
     mid_features: Optional[int] = None
-    in_perm: Optional[tuple] = None
+    in_b: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xf, train: bool = False):
+    def __call__(self, xf, bf=None, train: bool = False):
         mid = self.mid_features or self.features
-        chans = ((self.in_features, mid), (mid, self.features))
-        for i, (cin, feats) in enumerate(chans):
-            xf = FoldedConv3x3(feats, cin,
-                               in_perm=self.in_perm if i == 0 else None,
-                               dtype=self.dtype, name=f"Conv_{i}")(xf)
+        if self.in_b:
+            xf = FoldedConv3x3Pair(mid, self.in_features, self.in_b,
+                                   dtype=self.dtype, name="Conv_0")(xf, bf)
+        else:
+            xf = FoldedConv3x3(mid, self.in_features, dtype=self.dtype,
+                               name="Conv_0")(xf)
+        for i, feats in ((0, mid), (1, self.features)):
+            if i:
+                xf = FoldedConv3x3(feats, mid, dtype=self.dtype,
+                                   name="Conv_1")(xf)
             xf = FoldedBatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype, name=f"BatchNorm_{i}")(xf)
@@ -195,30 +230,18 @@ class FoldedUpConvT(nn.Module):
         k2 = krev.transpose(0, 2, 1, 3).reshape(2, c, 2 * co)
         x = x.astype(self.dtype)
         b, h, w, _ = x.shape
-        rows = [jnp.einsum("bhwc,cd->bhwd", x, k2[r]) for r in range(2)]
-        yf = jnp.stack(rows, axis=2).reshape(b, 2 * h, w, 2 * co)
-        return yf + jnp.tile(bias.astype(self.dtype), 2)
-
-
-def _concat_perm(c_skip: int, c_up: int) -> tuple:
-    """Folded-channel permutation mapping [skip_s0|skip_s1|up_s0|up_s1] data
-    layout onto the standard fold of the unfolded concat [skip|up]."""
-    import numpy as np
-    ctot = c_skip + c_up
-    perm = np.concatenate([
-        np.arange(0, c_skip),                      # skip slot0
-        np.arange(ctot, ctot + c_skip),            # skip slot1
-        np.arange(c_skip, c_skip + c_up),          # up   slot0
-        np.arange(ctot + c_skip, ctot + c_skip + c_up),  # up slot1
-    ])
-    # data layout index j holds standard-fold channel perm[j]; FoldedConv3x3
-    # indexes the folded kernel's input axis with this map.
-    return tuple(int(v) for v in perm)
+        bias2 = jnp.tile(bias.astype(self.dtype), 2)
+        # bias added per-row so it rides the matmul epilogue (a post-stack add
+        # materialised a separate 1.6 ms full-tensor pass).
+        rows = [jnp.einsum("bhwc,cd->bhwd", x, k2[r]) + bias2 for r in range(2)]
+        return jnp.stack(rows, axis=2).reshape(b, 2 * h, w, 2 * co)
 
 
 class FoldedUp(nn.Module):
-    """Up block producing a folded output: FoldedUpConvT -> folded concat with
-    the (already folded) skip -> FoldedDoubleConv.  Param tree == Up."""
+    """Up block producing a folded output: FoldedUpConvT -> concat-free
+    FoldedDoubleConv over the (already folded) skip + upsample pair.  Param
+    tree == Up; the spatial pad-to-match (Model.py:69-73) never triggers for
+    the even power-of-two sizes the folded path requires (guarded in UNet)."""
 
     features: int
     dropout: bool = False
@@ -232,16 +255,19 @@ class FoldedUp(nn.Module):
             c // 2, dtype=self.dtype, kernel_init=torch_convt_kernel_init,
             bias_init=torch_uniform_init((c // 2) * 4),
             name="ConvTranspose_0")(x1)
-        # spatial pad-to-match (Model.py:69-73) never triggers for the even
-        # power-of-two sizes the folded path requires (guarded in UNet).
-        xf = jnp.concatenate([x2f, x1f], axis=-1)
         if self.dropout:
-            xf = nn.Dropout(self.dropout_p, deterministic=not train)(xf)
+            # reference applies dropout to the concat (Model.py:76-79); the
+            # concat-free form drops each half with the same rate.  Fold the
+            # halves through one Dropout so the mask stream matches a single
+            # concat'd call.
+            cat = nn.Dropout(self.dropout_p, deterministic=not train)(
+                jnp.concatenate([x2f, x1f], axis=-1))
+            c_skip2 = x2f.shape[-1]
+            x2f, x1f = cat[..., :c_skip2], cat[..., c_skip2:]
         c_skip = x2f.shape[-1] // 2
         return FoldedDoubleConv(
-            self.features, c_skip + c // 2,
-            in_perm=_concat_perm(c_skip, c // 2),
-            dtype=self.dtype, name="DoubleConv_0")(xf, train=train)
+            self.features, c_skip, in_b=c // 2,
+            dtype=self.dtype, name="DoubleConv_0")(x2f, x1f, train=train)
 
 
 class FoldedOutConv(nn.Module):
