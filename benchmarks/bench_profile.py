@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_steps(batch: int, steps: int, log_dir: str, remat: bool = False,
-              fold: bool = False):
+              fold: bool = False, model_name: str = "unet"):
     import numpy as np
 
     import jax
@@ -34,7 +34,12 @@ def run_steps(batch: int, steps: int, log_dir: str, remat: bool = False,
     from unet_torch_tpu.train.steps import make_single_steps
     from unet_torch_tpu.utils.debug import profile_trace
 
-    model = UNet(3, 3, 64, remat=remat, fold=fold, dtype=jnp.bfloat16)
+    if model_name == "transunet":
+        from unet_torch_tpu.models.transunet import build_transunet
+        model = build_transunet("TransUnet", img_size=512, n_channels=3,
+                                num_classes=3, dtype=jnp.bfloat16)
+    else:
+        model = UNet(3, 3, 64, remat=remat, fold=fold, dtype=jnp.bfloat16)
     tx = make_optimizer("Adam", 1e-3, 0.0)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(batch, 512, 512, 3), jnp.float32)
@@ -110,11 +115,12 @@ def main():
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--fold", action="store_true")
+    ap.add_argument("--model", default="unet", choices=["unet", "transunet"])
     ap.add_argument("--log-dir", default="")
     args = ap.parse_args()
     log_dir = args.log_dir or tempfile.mkdtemp(prefix="unet_prof_")
     run_steps(args.batch, args.steps, log_dir, remat=args.remat,
-              fold=args.fold)
+              fold=args.fold, model_name=args.model)
     parse_trace(log_dir, args.steps)
 
 

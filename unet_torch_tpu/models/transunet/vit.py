@@ -58,6 +58,10 @@ def _interp_matrix(n_out, n_in, dtype):
 
 
 def _resize_align_corners(x, out_h, out_w):
+    # MEASURED (r3): a batch-broadcast dot_general formulation (interp matrix
+    # broadcast over the batch dim so the dot emits (b, out_axis, rest) with
+    # no transposes) is 2% SLOWER end-to-end — XLA materialises the broadcast
+    # lhs (up to GBs on the 256²->512² block).  The einsum stays.
     b, h, w, c = x.shape
     mh = _interp_matrix(out_h, h, x.dtype)
     mw = _interp_matrix(out_w, w, x.dtype)
