@@ -301,7 +301,9 @@ def tpu_multitask(batch=8, steps=10):
     return steps * batch / dt
 
 
-def tpu_transunet(batch=4, steps=10):
+def tpu_transunet(batch=8, steps=10):
+    # batch sweep (r3): b4 31.0, b8 47.7, b16 43.2 img/s — b8 is the knee
+    # (b4 under-occupies the MXU; b16 trips memory-pressure remat).
     import numpy as np
 
     import jax
@@ -328,7 +330,8 @@ def tpu_transunet(batch=4, steps=10):
     return steps * batch / dt
 
 
-def tpu_cltr(batch=4, steps=10):
+def tpu_cltr(batch=8, steps=10):
+    # batch sweep (r3): b4 35.7, b8 40.1, b16 35.4 img/s — b8 optimal.
     import numpy as np
 
     import jax
@@ -409,8 +412,8 @@ CONFIGS = [
      lambda: tpu_unet(16, "bfloat16", loss="dice_bce_mc", steps=10),
      "unet_mc"),
     ("multitask_unet64_512px_bf16_b8", tpu_multitask, "multitask"),
-    ("transunet_r50vitb16_512px_bf16_b4", tpu_transunet, "transunet"),
-    ("cltr_2000q_256px_b4_fused", tpu_cltr, "cltr"),
+    ("transunet_r50vitb16_512px_bf16_b8", tpu_transunet, "transunet"),
+    ("cltr_2000q_256px_b8_fused", tpu_cltr, "cltr"),
     ("unet64_512px_topo_two_phase_b8", tpu_topo, None),
 ]
 
