@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from unet_torch_tpu.nn.blocks import TPUDropout
+
 from unet_torch_tpu.models.cltr.position_encoding import (
     gen_sineembed_for_position,
 )
@@ -56,12 +58,20 @@ class MLP(nn.Module):
         return x
 
 
-def raw_attention(q, k, v, num_heads, key_padding_mask=None, dropout=None):
+def raw_attention(q, k, v, num_heads, key_padding_mask=None,
+                  dropout_rate=0.0, dropout_rng=None):
     """Pre-projected multi-head attention (attention.py:265-267,342-366):
     q,k (B,Nq/Nk,E); v (B,Nk,V); scale 1/sqrt(E/heads); returns (B,Nq,V).
 
-    Routed through the fused Pallas attention kernel when unmasked and
-    dropout-free; masked/dropout paths use the einsum fallback."""
+    Routed through the fused Pallas attention kernel when dropout-free.  The
+    training path (attention-probs dropout, ref attention.py:355) is a
+    remat-wrapped mixed-precision einsum: scores in bf16 with f32
+    accumulation, f32 softmax, probs cast bf16, explicit bernoulli mask from
+    the captured rng (replayed identically on recompute) — so the
+    (B,h,Nq,Nk) probs/mask are never stored for the backward.  Before this,
+    the 2000-query decoder self-attention materialised six f32
+    (8,8,2000,2000) score tensors per direction: ~100 ms of the 196 ms CLTR
+    b8 step (r3 profile)."""
     from unet_torch_tpu.kernels.attention import fused_attention
 
     b, nq, e = q.shape
@@ -72,17 +82,34 @@ def raw_attention(q, k, v, num_heads, key_padding_mask=None, dropout=None):
     qh = q.reshape(b, nq, num_heads, hd).transpose(0, 2, 1, 3)
     kh = k.reshape(b, nk, num_heads, hd).transpose(0, 2, 1, 3)
     vh = v.reshape(b, nk, num_heads, vhd).transpose(0, 2, 1, 3)
-    if dropout is None:
+    if dropout_rng is None or dropout_rate == 0.0:
         out = fused_attention(qh, kh, vh, scale=hd ** -0.5,
                               key_padding_mask=key_padding_mask)
     else:
-        scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * (hd ** -0.5)
-        if key_padding_mask is not None:
-            scores = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf,
-                               scores)
-        probs = jax.nn.softmax(scores, axis=-1)
-        probs = dropout(probs)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+        @jax.checkpoint
+        def attn(qh, kh, vh):
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", qh.astype(jnp.bfloat16),
+                kh.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32) * (hd ** -0.5)
+            if key_padding_mask is not None:
+                scores = jnp.where(key_padding_mask[:, None, None, :],
+                                   -jnp.inf, scores)
+            probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
+            # hardware rng-bit-generator for the (B,h,Nq,Nk) mask: threefry
+            # costs ~6 ms per attention at 2000x2000 on TPU (r3 profile — it,
+            # not the matmuls, dominated the old dropout path)
+            from unet_torch_tpu.nn.blocks import rbg_key
+            keep = jax.random.bernoulli(rbg_key(dropout_rng),
+                                        1.0 - dropout_rate, probs.shape)
+            probs = jnp.where(keep, probs / (1.0 - dropout_rate),
+                              jnp.bfloat16(0))
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs,
+                             vh.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+            return out.astype(v.dtype)
+
+        out = attn(qh, kh, vh)
     return out.transpose(0, 2, 1, 3).reshape(b, nq, vd)
 
 
@@ -96,9 +123,10 @@ class RawAttention(nn.Module):
 
     @nn.compact
     def __call__(self, q, k, v, *, train: bool, key_padding_mask=None):
-        drop = nn.Dropout(self.dropout_rate, deterministic=not train)
+        rng = (self.make_rng("dropout")
+               if train and self.dropout_rate else None)
         out = raw_attention(q, k, v, self.num_heads, key_padding_mask,
-                            dropout=drop if self.dropout_rate else None)
+                            dropout_rate=self.dropout_rate, dropout_rng=rng)
         return _dense(self.vdim, "out_proj")(out)
 
 
@@ -115,9 +143,10 @@ class FullAttention(nn.Module):
         qp = _dense(self.embed_dim, "q_proj")(q)
         kp = _dense(self.embed_dim, "k_proj")(k)
         vp = _dense(self.embed_dim, "v_proj")(v)
-        drop = nn.Dropout(self.dropout_rate, deterministic=not train)
+        rng = (self.make_rng("dropout")
+               if train and self.dropout_rate else None)
         out = raw_attention(qp, kp, vp, self.num_heads, key_padding_mask,
-                            dropout=drop if self.dropout_rate else None)
+                            dropout_rate=self.dropout_rate, dropout_rng=rng)
         return _dense(self.embed_dim, "out_proj")(out)
 
 
@@ -131,7 +160,7 @@ class TransformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, src, pos, *, train: bool, key_padding_mask=None):
-        drop = lambda name: nn.Dropout(self.dropout_rate,
+        drop = lambda name: TPUDropout(self.dropout_rate,
                                        deterministic=not train)
         q = k = src + pos
         src2 = FullAttention(self.d_model, self.nhead, self.dropout_rate,
@@ -158,7 +187,7 @@ class TransformerDecoderLayer(nn.Module):
     def __call__(self, tgt, memory, pos, query_pos, query_sine_embed,
                  is_first: bool, *, train: bool, key_padding_mask=None):
         d = self.d_model
-        drop = lambda: nn.Dropout(self.dropout_rate, deterministic=not train)
+        drop = lambda: TPUDropout(self.dropout_rate, deterministic=not train)
 
         # ---- self-attention (ref :294-314)
         q = _dense(d, "sa_qcontent_proj")(tgt) + _dense(d, "sa_qpos_proj")(

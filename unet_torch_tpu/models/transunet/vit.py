@@ -31,7 +31,7 @@ import numpy as np
 from flax import linen as nn
 
 from unet_torch_tpu.models.transunet.configs import CONFIGS
-from unet_torch_tpu.nn.blocks import TPUBatchNorm
+from unet_torch_tpu.nn.blocks import TPUBatchNorm, TPUDropout
 from unet_torch_tpu.models.transunet.resnetv2 import ResNetV2
 
 
@@ -95,7 +95,7 @@ class Attention(nn.Module):
             # dropout on the attention matrix needs the materialised probs
             scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) / math.sqrt(d_head)
             probs = jax.nn.softmax(scores, axis=-1)
-            probs = nn.Dropout(self.attention_dropout_rate,
+            probs = TPUDropout(self.attention_dropout_rate,
                                deterministic=False)(probs)
             ctx = jnp.einsum("bhnm,bmhd->bnhd", probs, v)
         else:
@@ -107,7 +107,7 @@ class Attention(nn.Module):
                 scale=1.0 / math.sqrt(d_head)).transpose(0, 2, 1, 3)
         ctx = ctx.reshape(x.shape[0], x.shape[1], self.hidden_size)
         out = dense("out")(ctx)
-        return nn.Dropout(self.attention_dropout_rate,
+        return TPUDropout(self.attention_dropout_rate,
                           deterministic=not train)(out)
 
 
@@ -126,10 +126,10 @@ class Mlp(nn.Module):
         x = nn.Dense(self.mlp_dim, kernel_init=kinit, bias_init=binit,
                      dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = TPUDropout(self.dropout_rate, deterministic=not train)(x)
         x = nn.Dense(self.hidden_size, kernel_init=kinit, bias_init=binit,
                      dtype=self.dtype, name="fc2")(x)
-        return nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        return TPUDropout(self.dropout_rate, deterministic=not train)(x)
 
 
 class Block(nn.Module):
@@ -186,7 +186,7 @@ class Embeddings(nn.Module):
         pos = self.param("position_embeddings", nn.initializers.zeros,
                          (1, n_patches, c.hidden_size))
         x = x + pos
-        x = nn.Dropout(c.transformer.dropout_rate,
+        x = TPUDropout(c.transformer.dropout_rate,
                        deterministic=not train)(x)
         return x, features
 

@@ -56,6 +56,37 @@ def torch_convt_kernel_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+class TPUDropout(nn.Module):
+    """nn.Dropout drop-in backed by the hardware rng-bit-generator.
+
+    flax's Dropout draws its mask with the threefry PRNG, which is pure VPU
+    arithmetic — ~6 ms per 256M-element mask on v5e (measured in the CLTR
+    decoder self-attention, r3 profile; ViT's MLP dropout masks cost several
+    ms/step the same way).  The 'rbg' impl lowers to XLA's RngBitGenerator.
+    Param-free; same keep/scale semantics as nn.Dropout."""
+
+    rate: float
+    deterministic: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic=None):
+        det = nn.merge_param("deterministic", self.deterministic,
+                             deterministic)
+        if det or self.rate == 0.0:
+            return x
+        if self.rate == 1.0:
+            return jnp.zeros_like(x)
+        keep = jax.random.bernoulli(
+            rbg_key(self.make_rng("dropout")), 1.0 - self.rate, x.shape)
+        return jnp.where(keep, x / (1.0 - self.rate), jnp.zeros_like(x))
+
+
+def rbg_key(key):
+    """Convert a (threefry) PRNG key into an 'rbg' key for cheap bulk draws."""
+    kd = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
+    return jax.random.wrap_key_data(jnp.tile(kd, 2)[:4], impl="rbg")
+
+
 class TPUBatchNorm(nn.Module):
     """BatchNorm with f32 statistics but compute-dtype apply/output.
 
@@ -346,7 +377,7 @@ class Down(nn.Module):
         else:
             x = max_pool_2x2(x)
         if self.dropout:
-            x = nn.Dropout(self.dropout_p, deterministic=not train)(x)
+            x = TPUDropout(self.dropout_p, deterministic=not train)(x)
         return DoubleConv(self.features, dtype=self.dtype)(x, train=train)
 
 
@@ -385,7 +416,7 @@ class Up(nn.Module):
             )
         x = jnp.concatenate([x2, x1], axis=-1)
         if self.dropout:
-            x = nn.Dropout(self.dropout_p, deterministic=not train)(x)
+            x = TPUDropout(self.dropout_p, deterministic=not train)(x)
         return DoubleConv(self.features, dtype=self.dtype)(x, train=train)
 
 

@@ -260,7 +260,8 @@ class FoldedUp(nn.Module):
             # concat-free form drops each half with the same rate.  Fold the
             # halves through one Dropout so the mask stream matches a single
             # concat'd call.
-            cat = nn.Dropout(self.dropout_p, deterministic=not train)(
+            from unet_torch_tpu.nn.blocks import TPUDropout
+            cat = TPUDropout(self.dropout_p, deterministic=not train)(
                 jnp.concatenate([x2f, x1f], axis=-1))
             c_skip2 = x2f.shape[-1]
             x2f, x1f = cat[..., :c_skip2], cat[..., c_skip2:]
