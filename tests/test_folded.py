@@ -187,3 +187,33 @@ def test_multitask_fold_equivalence(rng):
     v = m0.init(jax.random.key(1), x, train=False)
     for a, b in zip(m0.apply(v, x, train=False), m1.apply(v, x, train=False)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# TPUDropout (rbg-backed nn.Dropout drop-in)
+# ---------------------------------------------------------------------------
+
+def test_tpu_dropout_semantics(rng):
+    x = jnp.asarray(rng.rand(4, 32, 32, 8) + 1.0, jnp.float32)
+    m = blocks.TPUDropout(0.3)
+    # deterministic: identity
+    y = m.apply({}, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+    # train: zeros + 1/(1-p) scaling, keep-rate near p
+    y = m.apply({}, x, deterministic=False,
+                rngs={"dropout": jax.random.key(0)})
+    y = np.asarray(y)
+    kept = y != 0
+    assert abs(kept.mean() - 0.7) < 0.02
+    np.testing.assert_allclose(y[kept], np.asarray(x)[kept] / 0.7, rtol=1e-6)
+    # rate 0 / rate 1 edges
+    np.testing.assert_array_equal(
+        np.asarray(blocks.TPUDropout(0.0).apply(
+            {}, x, deterministic=False,
+            rngs={"dropout": jax.random.key(0)})), np.asarray(x))
+    assert not np.any(np.asarray(blocks.TPUDropout(1.0).apply(
+        {}, x, deterministic=False, rngs={"dropout": jax.random.key(0)})))
+    # same rng -> same mask (replays deterministically, e.g. under remat)
+    a = m.apply({}, x, deterministic=False, rngs={"dropout": jax.random.key(7)})
+    b = m.apply({}, x, deterministic=False, rngs={"dropout": jax.random.key(7)})
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -95,3 +95,27 @@ def make_cltr_fused_step(model, criterion, tx):
                               step=state.step + 1), loss, loss_dict)
 
     return fused_step
+
+
+def make_cltr_eval_loss(model, criterion):
+    """Jit'd val-loss: dropout-free forward + on-device matching + the same
+    weighted criterion as training.  Returns (loss, pred_logits) — used by
+    benchmarks/parity_cltr.py for trained-outcome comparison against the
+    reference torch criterion run in eval mode."""
+    from unet_torch_tpu.kernels.auction import auction_lsap_batched
+
+    @jax.jit
+    def eval_loss(state, x, tgt_labels, tgt_points, tgt_valid):
+        out = model.apply({"params": state.params,
+                           "batch_stats": state.batch_stats}, x, train=False)
+        costs = criterion.all_cost_matrices(out, tgt_labels, tgt_points,
+                                            tgt_valid)
+        L = costs.shape[0]
+        valid_lbt = jax.numpy.broadcast_to(tgt_valid[None],
+                                           (L,) + tgt_valid.shape)
+        match_src = auction_lsap_batched(costs, valid_lbt)
+        total, _ = criterion.losses(out, tgt_labels, tgt_points, tgt_valid,
+                                    match_src)
+        return total, out["pred_logits"]
+
+    return eval_loss
