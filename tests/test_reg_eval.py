@@ -66,6 +66,45 @@ def test_mt_reg_eval_artifacts(tmp_path):
     for png in ("resultsData_immune.png", "resultsData_other.png"):
         assert os.path.exists(os.path.join(out, png))
     assert "Cell MAE" in results[4]
+    # <25-count filter artifacts (ref test_reg3serousv5mt.py:553-624)
+    filt = pd.read_csv(os.path.join(out, "resultsDataFiltered.csv"))
+    assert list(filt.columns) == EXPECTED_DATA_COLUMNS
+    mfilt = pd.read_csv(os.path.join(out, "resultsDataMeanFiltered.csv"))
+    assert list(mfilt.columns) == [
+        "Cell Absolute Difference", "Cell Accuracy", "Cell Accuracy RD",
+        "Cell Accuracy RPD", "Immune Absolute Difference", "Immune Accuracy",
+        "Immune Accuracy RD", "Immune Accuracy RPD",
+        "Ratio Absolute Difference", "Ratio Accuracy", "Ratio Accuracy RD",
+        "Ratio Accuracy RPD"]
+
+
+def test_filtered_csv_drops_below_25(tmp_path):
+    """The filter drops rows where immune GT *or* immune Pred < 25
+    (ref test_reg3serousv5mt.py:553-556)."""
+    import pandas as pd
+
+    from unet_torch_tpu.eval.reports import TwoChannelRegResults
+
+    res = TwoChannelRegResults(str(tmp_path))
+
+    def dots(n):
+        d = np.zeros((64, 64))
+        d.flat[:n] = 1.0
+        return d
+
+    # (gt_immune, pred_immune): keep only the (30, 40) row
+    for k, (gi, pi) in enumerate([(30, 40), (10, 40), (30, 5)]):
+        res.sample_list.append(f"s{k}.png")
+        res.add(pred_other=dots(50), pred_immune=dots(pi),
+                gt_dot_other=dots(50), gt_dot_immune=dots(gi))
+    res.save()
+    filt = pd.read_csv(tmp_path / "resultsDataFiltered.csv")
+    assert list(filt["sample name"]) == ["s0.png"]
+    assert filt["immune count Gold"][0] == 30.0
+    full = pd.read_csv(tmp_path / "resultsData.csv")
+    assert len(full) == 3
+    mfilt = pd.read_csv(tmp_path / "resultsDataMeanFiltered.csv")
+    assert mfilt["Immune Absolute Difference"][0] == 10.0
 
 
 def test_tsv_gt_dots(tmp_path):
@@ -77,3 +116,33 @@ def test_tsv_gt_dots(tmp_path):
     other, immune = create_label_coordinates_2class(str(tsv), (64, 64))
     assert other.sum() == 2 and immune.sum() == 1
     assert immune[19, 14] == 1  # (40/2-1, 30/2-1)
+
+
+def test_results2class_csv_column_spellings(tmp_path):
+    """results.csv uses 'Ratio Accuracy MRE max'/'Ratio Accuracy RPD' while
+    resultsC.csv uses 'Ratio MRE max'/'Ratio RPD' — the reference writes the
+    same row under two spellings (ref test_mc3serousv5.py:736-737, 752-753)."""
+    import pandas as pd
+
+    from unet_torch_tpu.eval.reports import Results2Class
+
+    res = Results2Class(str(tmp_path), save_image=False)
+    rng = np.random.default_rng(0)
+    for k in range(2):
+        res.imageNames.append(f"im{k}.png")
+        gt_dot = np.zeros((64, 64), np.uint8)
+        gt_dot[10 + k, 10] = 1
+        gt_dot[30, 30 + k] = 2
+        pred = rng.integers(0, 3, (64, 64)).astype(np.uint8)
+        res.compare_images(np.zeros((64, 64), np.uint8), pred.copy(),
+                           pred, gt_dot)
+    res.save()
+    first = pd.read_csv(tmp_path / "results.csv")
+    second = pd.read_csv(tmp_path / "resultsC.csv")
+    tail = ["Ratio MAE", "Ratio MRE", "Ratio Accuracy MRE max",
+            "Ratio Accuracy RPD", "Ratio pearson r"]
+    assert list(first.columns)[-5:] == tail
+    assert list(second.columns)[-5:] == ["Ratio MAE", "Ratio MRE",
+                                         "Ratio MRE max", "Ratio RPD",
+                                         "Ratio pearson r"]
+    assert first["Ratio Accuracy RPD"][0] == second["Ratio RPD"][0]

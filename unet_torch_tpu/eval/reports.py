@@ -372,9 +372,19 @@ class Results2Class:
             "Ratio RPD": mean(self.ratio["AccuracyRelativePD"]),
             "Ratio pearson r": pearson_ratio,
         }
-        df = pd.DataFrame(self.performace_results, index=[0])
-        df.to_csv(os.path.join(self.save_dir, "results.csv"), index=False)
-        df.to_csv(os.path.join(self.save_dir, "resultsC.csv"), index=False)
+        # The reference writes the same values twice with two column spellings:
+        # results.csv names the ratio tail columns 'Ratio Accuracy MRE max' /
+        # 'Ratio Accuracy RPD' (ref test_mc3serousv5.py:736-737) while
+        # resultsC.csv uses 'Ratio MRE max' / 'Ratio RPD' (:752-753).
+        first_write = dict(self.performace_results)
+        first_write["Ratio Accuracy MRE max"] = first_write.pop(
+            "Ratio MRE max")
+        first_write["Ratio Accuracy RPD"] = first_write.pop("Ratio RPD")
+        first_write["Ratio pearson r"] = first_write.pop("Ratio pearson r")
+        pd.DataFrame(first_write, index=[0]).to_csv(
+            os.path.join(self.save_dir, "results.csv"), index=False)
+        pd.DataFrame(self.performace_results, index=[0]).to_csv(
+            os.path.join(self.save_dir, "resultsC.csv"), index=False)
 
     def get_results(self):
         return self.performace_results
@@ -1178,6 +1188,53 @@ class TwoChannelRegResults:
         pd.DataFrame([row1, row2, row3, row4], columns=columns,
                      index=index).to_csv(
             os.path.join(self.save_dir, "resultsMatching.csv"), index=True)
+
+        # <25-immune-count filter pass (ref test_reg3serousv5mt.py:553-624):
+        # drop images whose immune GT or prediction counts fewer than 25
+        # cells, then re-emit the per-image table and the column means as
+        # resultsDataFiltered.csv / resultsDataMeanFiltered.csv.
+        keep = [j for j in range(len(self.sample_list))
+                if i["GT"][j] >= 25 and i["Pred"][j] >= 25]
+
+        def sel(v):
+            return [v[j] for j in keep]
+
+        pd.DataFrame({
+            "sample name": sel(self.sample_list),
+            "cell count Gold": sel(o["GT"]), "cell count Pred": sel(o["Pred"]),
+            "cell abs diff": sel(o["AbsDiff"]),
+            "cell accuracy": sel(o["Accuracy"]),
+            "cell accuracy RD": sel(o["AccuracyRelative"]),
+            "cell accuracy RD Perantage": sel(o["AccuracyRelativePD"]),
+            "immune count Gold": sel(i["GT"]),
+            "immune count Pred": sel(i["Pred"]),
+            "immune abs diff": sel(i["AbsDiff"]),
+            "immune accuracy": sel(i["Accuracy"]),
+            "immune accuracy RD": sel(i["AccuracyRelative"]),
+            "immune accuracy RD Perantage": sel(i["AccuracyRelativePD"]),
+            "ratio Gold": sel(r["GT"]), "ratio Pred": sel(r["Pred"]),
+            "ratio abs diff": sel(r["AbsDiff"]),
+            "ratio accuracy": sel(r["Accuracy"]),
+            "ratio accuracy RD": sel(r["AccuracyRelative"]),
+            "ratio accuracy RD Perantage": sel(r["AccuracyRelativePD"]),
+        }).to_csv(os.path.join(self.save_dir, "resultsDataFiltered.csv"),
+                  index=False)
+
+        pd.DataFrame({
+            "Cell Absolute Difference": [mean(sel(o["AbsDiff"]))],
+            "Cell Accuracy": [mean(sel(o["Accuracy"]))],
+            "Cell Accuracy RD": [mean(sel(o["AccuracyRelative"]))],
+            "Cell Accuracy RPD": [mean(sel(o["AccuracyRelativePD"]))],
+            "Immune Absolute Difference": [mean(sel(i["AbsDiff"]))],
+            "Immune Accuracy": [mean(sel(i["Accuracy"]))],
+            "Immune Accuracy RD": [mean(sel(i["AccuracyRelative"]))],
+            "Immune Accuracy RPD": [mean(sel(i["AccuracyRelativePD"]))],
+            "Ratio Absolute Difference": [mean(sel(r["AbsDiff"]))],
+            "Ratio Accuracy": [mean(sel(r["Accuracy"]))],
+            "Ratio Accuracy RD": [mean(sel(r["AccuracyRelative"]))],
+            "Ratio Accuracy RPD": [mean(sel(r["AccuracyRelativePD"]))],
+        }).to_csv(os.path.join(self.save_dir, "resultsDataMeanFiltered.csv"),
+                  index=False)
 
     def get_results(self):
         return self.performace_results
