@@ -138,3 +138,69 @@ def test_postprocess_topk(model_and_vars):
     pts = results[0]["points"]
     assert pts.shape[1] == 2
     assert (pts >= 0).all() and (pts[:, 0] <= 128).all()
+
+
+def test_postprocess_topk_vs_torch_oracle():
+    """PostProcess top-k index arithmetic vs a torch-transplanted oracle
+    (ref CLTR/conditional_detr.py:290-322: sigmoid -> topk(100) over the
+    flattened (queries*classes) axis, query = idx // n_classes, label =
+    idx % n_classes, gather points, scale to absolute coords).  The
+    reference's own tail calls box_cxcywh_to_xyxy and would crash on CLTR's
+    3-dim points; the oracle keeps its index math and the [w, h] scaling."""
+    import torch
+
+    from unet_torch_tpu.models.cltr.criterion import PostProcess
+
+    rng = np.random.default_rng(7)
+    bsz, q, c = 2, 300, 2
+    logits = rng.normal(size=(bsz, q, c)).astype(np.float32)
+    points = rng.uniform(size=(bsz, q, 3)).astype(np.float32)
+    sizes = np.array([[256, 256], [768, 512]], np.float32)  # (h, w)
+
+    out_logits = torch.from_numpy(logits)
+    out_point = torch.from_numpy(points)
+    prob = out_logits.sigmoid()
+    topk_values, topk_indexes = torch.topk(
+        prob.view(out_logits.shape[0], -1), 100, dim=1)
+    topk_points = torch.div(topk_indexes, out_logits.shape[2],
+                            rounding_mode="floor")
+    labels = topk_indexes % out_logits.shape[2]
+    pts = torch.gather(out_point, 1,
+                       topk_points.unsqueeze(-1).repeat(1, 1, 3))
+    img_h, img_w = torch.from_numpy(sizes).unbind(1)
+    scale = torch.stack([img_w, img_h], dim=1)
+    pts_abs = pts[..., :2] * scale[:, None, :]
+
+    results = PostProcess()({"pred_logits": logits, "pred_points": points},
+                            sizes)
+    for b in range(bsz):
+        np.testing.assert_allclose(results[b]["scores"],
+                                   topk_values[b].numpy(), atol=1e-6)
+        np.testing.assert_array_equal(results[b]["labels"],
+                                      labels[b].numpy())
+        np.testing.assert_allclose(results[b]["points"],
+                                   pts_abs[b].numpy(), atol=1e-4)
+
+
+def test_cltr_bf16_forward_and_grad():
+    """precision: bf16 builds a bf16-compute CLTR whose outputs stay f32
+    (criterion precision) and whose loss/grads are finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from unet_torch_tpu.models.cltr import build_cltr
+
+    model, criterion, _ = build_cltr(
+        {"num_queries": 32, "hidden_dim": 32, "nheads": 4, "enc_layers": 1,
+         "dec_layers": 2, "dim_feedforward": 64, "precision": "bf16"})
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3),
+                    jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out["pred_logits"].dtype == jnp.float32
+    assert out["pred_points"].dtype == jnp.float32
+    assert np.isfinite(np.asarray(out["pred_logits"])).all()
+    # dropout path (train=True) also runs in bf16 with the rbg mask
+    out_t = model.apply(variables, x, train=True,
+                        rngs={"dropout": jax.random.key(1)})
+    assert np.isfinite(np.asarray(out_t["pred_logits"])).all()

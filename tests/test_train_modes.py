@@ -113,3 +113,19 @@ def test_bf16_precision(dataset_root, tmp_path):
                              "precision": "bf16"})
     trainers, _ = _run(cfg)
     assert np.isfinite(trainers[3].train_loss_list).all()
+
+
+def test_multi_task_binary_reg_mode(dataset_root, tmp_path):
+    """`multi_task` trains through DataRegBinary's (image, (mask, reg*200))
+    dict contract (ref train.py:239-247 builds Data_Reg_Binary; the reference
+    class itself is broken — DataLoader.py:148-155 references undefined
+    label1/label2 — ours fixes it and must actually train)."""
+    cfg = _cfg(dataset_root, str(tmp_path / "mtb"),
+               model_config={"model_type": "multi_task"},
+               train_config={"loss": "mse"})
+    trainers, _ = _run(cfg)
+    tr = trainers[3]
+    assert np.isfinite(tr.train_loss_list).all()
+    assert len(tr.train_loss_list_1) == 1
+    out = os.path.join(str(tmp_path / "mtb"), "mtb_seed3")
+    assert os.path.exists(os.path.join(out, "bce.png"))
