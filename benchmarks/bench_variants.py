@@ -19,29 +19,32 @@ import numpy as np  # noqa: E402
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
-from jax import lax  # noqa: E402
 
 from unet_torch_tpu.nn import blocks  # noqa: E402
 
 
-def plain_convt(x, k):
-    return lax.conv_general_dilated(
-        x, k, (1, 1), ((1, 1), (1, 1)), lhs_dilation=(2, 2),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+_DEFAULT_POOL = blocks._max_pool_2x2_eq      # reshape-max default
+_ARGMAX_POOL = blocks._max_pool_2x2_argmax   # custom-VJP experiment
+_DEFAULT_UP_CONVT = blocks.up_conv_transpose
 
 
-_ARGMAX_POOL = blocks.max_pool_2x2
-_VJP_CONVT = blocks.conv_transpose_2x2
+def _vjp_up_convt(features, dtype):
+    """Up upsample via the reverse-free custom-VJP TorchConvTranspose2x2
+    (same inits as the default factory)."""
+    return blocks.TorchConvTranspose2x2(
+        features, dtype=dtype, kernel_init=blocks.torch_convt_kernel_init,
+        bias_init=blocks.torch_uniform_init(features * 4))
 
 
 def configure(variant: str) -> bool:
-    """Returns fold flag; patches blocks in place."""
-    pool = {"v_old": blocks._max_pool_2x2_eq, "v_convt": blocks._max_pool_2x2_eq,
-            }.get(variant, _ARGMAX_POOL)
-    convt = {"v_old": plain_convt, "v_pool": plain_convt}.get(
-        variant, _VJP_CONVT)
-    blocks.max_pool_2x2 = pool
-    blocks.conv_transpose_2x2 = convt
+    """Returns fold flag; patches blocks in place.  v_pool swaps the Down
+    max-pool for the argmax custom VJP; v_convt swaps Up's upsample module
+    for the custom-VJP ConvTranspose (Up routes through up_conv_transpose
+    precisely so this patch measures what the model runs)."""
+    blocks.max_pool_2x2 = (_ARGMAX_POOL if variant == "v_pool"
+                           else _DEFAULT_POOL)
+    blocks.up_conv_transpose = (_vjp_up_convt if variant == "v_convt"
+                                else _DEFAULT_UP_CONVT)
     return variant == "v_fold"
 
 

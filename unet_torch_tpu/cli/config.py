@@ -44,7 +44,11 @@ class ModelConfig:
     # TPU-specific: W-folded level-1 activations (nn/folded.py) — halves the
     # HBM bytes of every C=base tensor (XLA pads C=64 to the 128-lane tile).
     # Numerically equivalent (test_folded.py); auto-falls back on sizes not
-    # divisible by 16.  Default on: +5% measured train throughput at 512².
+    # divisible by 16.  Default on: +12% measured train throughput at 512².
+    # NB reproducibility: folding changes floating-point association (folded
+    # convs, combined-half BN batch stats) and uses the rbg dropout stream,
+    # so runs are statistically — not bit — identical to fold=False; set
+    # `model_config.fold: false` for bit-stable ablations (see PARITY.md).
     fold: bool = True
 
 

@@ -381,6 +381,16 @@ class Down(nn.Module):
         return DoubleConv(self.features, dtype=self.dtype)(x, train=train)
 
 
+def up_conv_transpose(features, dtype):
+    """The upsample op used by Up — a module-level factory so the perf
+    experiments (benchmarks/bench_variants.py v_convt) can swap in
+    TorchConvTranspose2x2 and measure what the model actually runs."""
+    return nn.ConvTranspose(
+        features, (2, 2), strides=(2, 2), dtype=dtype,
+        kernel_init=torch_convt_kernel_init,
+        bias_init=torch_uniform_init(features * 4))
+
+
 class Up(nn.Module):
     """ConvTranspose k=2 s=2 halving channels, pad to skip size, concat, DoubleConv.
 
@@ -400,11 +410,7 @@ class Up(nn.Module):
         # dilated conv here: matmul+depth-to-space (FastConvTranspose2x2,
         # 80.4 vs 82.8 img/s, r2) and the reverse-free custom VJP
         # (conv_transpose_2x2, 82.0 vs 82.9, r3 bench_variants.py).
-        x1 = nn.ConvTranspose(
-            c // 2, (2, 2), strides=(2, 2), dtype=self.dtype,
-            kernel_init=torch_convt_kernel_init,
-            bias_init=torch_uniform_init((c // 2) * 4),
-        )(x1)
+        x1 = up_conv_transpose(c // 2, self.dtype)(x1)
         # Pad x1 spatially to match the skip feature (reference pads with F.pad,
         # split as [d//2, d - d//2] per axis: Model.py:69-73).
         dh = x2.shape[1] - x1.shape[1]
