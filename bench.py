@@ -330,8 +330,10 @@ def tpu_transunet(batch=8, steps=10):
     return steps * batch / dt
 
 
-def tpu_cltr(batch=8, steps=10):
+def tpu_cltr(batch=8, steps=10, precision="bf16"):
     # batch sweep (r3): b4 35.7, b8 40.1, b16 35.4 img/s — b8 optimal.
+    # r4: transformer compute dtype configurable; criterion/softmax/points
+    # stay f32 (models/cltr/model.py).
     import numpy as np
 
     import jax
@@ -343,7 +345,7 @@ def tpu_cltr(batch=8, steps=10):
     from unet_torch_tpu.train.optim import make_optimizer
     from unet_torch_tpu.train.state import TrainState
 
-    model, criterion, _ = build_cltr({})
+    model, criterion, _ = build_cltr({"precision": precision})
     tx = make_optimizer("Adam", 1e-4, 0.0)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(batch, 256, 256, 3), jnp.float32)
@@ -389,14 +391,19 @@ def tpu_topo(batch=8, steps=5):
     variables = model.init(jax.random.key(0), x[:1], train=False)
     state = TrainState.create(variables["params"],
                               variables.get("batch_stats", {}), tx)
-    (_w, _we), (topo_step, _te) = make_topo_steps(model, tx, "TopoLoss", 1)
+    (_w, _we), (topo_step, _te), TopoPipeline = make_topo_steps(
+        model, tx, "TopoLoss", 1)
     key = jax.random.key(1)
-    for _ in range(2):
-        state, loss = topo_step(state, x, y, dots, 1e-3, key)
-        float(loss)
+    # pipelined path (trainer default): host pairing of batch k overlaps the
+    # device update of batch k-1
+    pipe = TopoPipeline()
+    for _ in range(3):  # primes the pipeline + compiles both jit signatures
+        state, loss = pipe.step(state, x, y, dots, 1e-3, key)
+        if loss is not None:
+            float(loss)
     t0 = time.perf_counter()
     for _ in range(steps):
-        state, loss = topo_step(state, x, y, dots, 1e-3, key)
+        state, loss = pipe.step(state, x, y, dots, 1e-3, key)
     float(loss)
     return steps * batch / (time.perf_counter() - t0)
 
@@ -413,7 +420,7 @@ CONFIGS = [
      "unet_mc"),
     ("multitask_unet64_512px_bf16_b8", tpu_multitask, "multitask"),
     ("transunet_r50vitb16_512px_bf16_b8", tpu_transunet, "transunet"),
-    ("cltr_2000q_256px_b8_fused", tpu_cltr, "cltr"),
+    ("cltr_2000q_256px_bf16_b8_fused", tpu_cltr, "cltr"),
     ("unet64_512px_topo_two_phase_b8", tpu_topo, None),
 ]
 

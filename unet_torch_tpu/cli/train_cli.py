@@ -125,6 +125,9 @@ def build_datasets_and_model(cfg: Config, seed: int):
         from unet_torch_tpu.models.cltr import build_cltr
 
         cltr_args = dict(cfg.raw.get("cltr_config", {}))
+        # train_config.precision: bf16 flows into the model compute dtype
+        # (criterion/softmax/reference points stay f32 — see model.py)
+        cltr_args.setdefault("precision", cfg.train.precision)
         model, criterion, _post = build_cltr(cltr_args)
         build_datasets_and_model.last_cltr_criterion = criterion
         # ref builds torchvision resnet50 pretrained=True (CLTR/backbone.py:73);

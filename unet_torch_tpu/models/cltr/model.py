@@ -73,27 +73,32 @@ class ConditionalDETR(nn.Module):
             (self.num_queries, self.hidden_dim))
         hs, reference = Transformer(
             self.hidden_dim, self.nheads, self.enc_layers, self.dec_layers,
-            self.dim_feedforward, self.dropout_rate, name="transformer")(
+            self.dim_feedforward, self.dropout_rate, dtype=self.dtype,
+            name="transformer")(
             src, fmask, query_embed, pos, train=train)
 
         ref_before_sigmoid = inverse_sigmoid(reference)  # (B, Q, 2)
-        # focal-loss prior bias (ref :54-57)
+        # focal-loss prior bias (ref :54-57).  Heads run in the compute
+        # dtype; logits/points are emitted f32 — the criterion (focal loss,
+        # sigmoid point coords) stays full-precision end-to-end.
         prior_prob = 0.01
         bias_value = -math.log((1 - prior_prob) / prior_prob)
         class_embed = nn.Dense(
-            self.num_classes,
+            self.num_classes, dtype=self.dtype,
             bias_init=nn.initializers.constant(bias_value),
             name="class_embed")
         point_embed = MLP(self.hidden_dim, self.channel_point, 3,
-                          last_zero_init=True, name="point_embed")
+                          last_zero_init=True, dtype=self.dtype,
+                          name="point_embed")
 
         outputs_coords = []
         outputs_classes = []
         for lvl in range(hs.shape[0]):
-            tmp = point_embed(hs[lvl])
+            tmp = point_embed(hs[lvl]).astype(jnp.float32)
             tmp = tmp.at[..., :2].add(ref_before_sigmoid)
             outputs_coords.append(jax.nn.sigmoid(tmp))
-            outputs_classes.append(class_embed(hs[lvl]))
+            outputs_classes.append(
+                class_embed(hs[lvl]).astype(jnp.float32))
 
         out = {"pred_logits": outputs_classes[-1],
                "pred_points": outputs_coords[-1]}
@@ -125,6 +130,8 @@ def build_cltr(args: dict):
         dropout_rate=args.get("dropout", 0.1),
         aux_loss=args.get("aux_loss", True),
         position_embedding=args.get("position_embedding", "sine"),
+        dtype=jnp.bfloat16 if str(args.get("precision", "f32")).lower()
+        in ("bf16", "bfloat16") else jnp.float32,
     )
     weight_dict = build_weight_dict(
         cls_loss_coef=args.get("cls_loss_coef", 2),

@@ -31,8 +31,9 @@ from unet_torch_tpu.models.cltr.position_encoding import (
 xavier_uniform = nn.initializers.xavier_uniform()
 
 
-def _dense(features, name):
-    return nn.Dense(features, kernel_init=xavier_uniform, name=name)
+def _dense(features, name, dtype=jnp.float32):
+    return nn.Dense(features, kernel_init=xavier_uniform, name=name,
+                    dtype=dtype)
 
 
 class MLP(nn.Module):
@@ -42,6 +43,7 @@ class MLP(nn.Module):
     output_dim: int
     num_layers: int
     last_zero_init: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -52,7 +54,7 @@ class MLP(nn.Module):
                     else xavier_uniform)
             bias_init = nn.initializers.zeros
             x = nn.Dense(feats, kernel_init=init, bias_init=bias_init,
-                         name=f"layer{i}")(x)
+                         name=f"layer{i}", dtype=self.dtype)(x)
             if not is_last:
                 x = nn.relu(x)
         return x
@@ -86,16 +88,21 @@ def raw_attention(q, k, v, num_heads, key_padding_mask=None,
         out = fused_attention(qh, kh, vh, scale=hd ** -0.5,
                               key_padding_mask=key_padding_mask)
     else:
+        # Compute in the model's activation dtype (f32 softmax either way) —
+        # casting f32 activations down to bf16 here would silently diverge
+        # train numerics from the dtype-preserving fused eval path.  The
+        # bf16 fast path engages when the model itself runs bf16.
+        cdt = q.dtype
+
         @jax.checkpoint
         def attn(qh, kh, vh):
             scores = jnp.einsum(
-                "bhqd,bhkd->bhqk", qh.astype(jnp.bfloat16),
-                kh.astype(jnp.bfloat16),
+                "bhqd,bhkd->bhqk", qh.astype(cdt), kh.astype(cdt),
                 preferred_element_type=jnp.float32) * (hd ** -0.5)
             if key_padding_mask is not None:
                 scores = jnp.where(key_padding_mask[:, None, None, :],
                                    -jnp.inf, scores)
-            probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
+            probs = jax.nn.softmax(scores, axis=-1).astype(cdt)
             # hardware rng-bit-generator for the (B,h,Nq,Nk) mask: threefry
             # costs ~6 ms per attention at 2000x2000 on TPU (r3 profile — it,
             # not the matmuls, dominated the old dropout path)
@@ -103,9 +110,8 @@ def raw_attention(q, k, v, num_heads, key_padding_mask=None,
             keep = jax.random.bernoulli(rbg_key(dropout_rng),
                                         1.0 - dropout_rate, probs.shape)
             probs = jnp.where(keep, probs / (1.0 - dropout_rate),
-                              jnp.bfloat16(0))
-            out = jnp.einsum("bhqk,bhkd->bhqd", probs,
-                             vh.astype(jnp.bfloat16),
+                              jnp.zeros((), cdt))
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh.astype(cdt),
                              preferred_element_type=jnp.float32)
             return out.astype(v.dtype)
 
@@ -120,14 +126,17 @@ class RawAttention(nn.Module):
     num_heads: int
     vdim: int
     dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, q, k, v, *, train: bool, key_padding_mask=None):
         rng = (self.make_rng("dropout")
                if train and self.dropout_rate else None)
-        out = raw_attention(q, k, v, self.num_heads, key_padding_mask,
+        out = raw_attention(q.astype(self.dtype), k.astype(self.dtype),
+                            v.astype(self.dtype), self.num_heads,
+                            key_padding_mask,
                             dropout_rate=self.dropout_rate, dropout_rng=rng)
-        return _dense(self.vdim, "out_proj")(out)
+        return _dense(self.vdim, "out_proj", self.dtype)(out)
 
 
 class FullAttention(nn.Module):
@@ -137,17 +146,18 @@ class FullAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, q, k, v, *, train: bool, key_padding_mask=None):
-        qp = _dense(self.embed_dim, "q_proj")(q)
-        kp = _dense(self.embed_dim, "k_proj")(k)
-        vp = _dense(self.embed_dim, "v_proj")(v)
+        qp = _dense(self.embed_dim, "q_proj", self.dtype)(q)
+        kp = _dense(self.embed_dim, "k_proj", self.dtype)(k)
+        vp = _dense(self.embed_dim, "v_proj", self.dtype)(v)
         rng = (self.make_rng("dropout")
                if train and self.dropout_rate else None)
         out = raw_attention(qp, kp, vp, self.num_heads, key_padding_mask,
                             dropout_rate=self.dropout_rate, dropout_rng=rng)
-        return _dense(self.embed_dim, "out_proj")(out)
+        return _dense(self.embed_dim, "out_proj", self.dtype)(out)
 
 
 class TransformerEncoderLayer(nn.Module):
@@ -157,20 +167,25 @@ class TransformerEncoderLayer(nn.Module):
     nhead: int
     dim_feedforward: int = 2048
     dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, src, pos, *, train: bool, key_padding_mask=None):
         drop = lambda name: TPUDropout(self.dropout_rate,
                                        deterministic=not train)
-        q = k = src + pos
+        norm = lambda name: nn.LayerNorm(epsilon=1e-5,
+                                         use_fast_variance=False,
+                                         dtype=self.dtype, name=name)
+        src = src.astype(self.dtype)
+        q = k = src + pos.astype(self.dtype)
         src2 = FullAttention(self.d_model, self.nhead, self.dropout_rate,
-                             name="self_attn")(
+                             dtype=self.dtype, name="self_attn")(
             q, k, src, train=train, key_padding_mask=key_padding_mask)
-        src = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, name="norm1")(src + drop("d1")(src2))
-        src2 = _dense(self.dim_feedforward, "linear1")(src)
+        src = norm("norm1")(src + drop("d1")(src2))
+        src2 = _dense(self.dim_feedforward, "linear1", self.dtype)(src)
         src2 = drop("d")(nn.relu(src2))
-        src2 = _dense(self.d_model, "linear2")(src2)
-        return nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, name="norm2")(src + drop("d2")(src2))
+        src2 = _dense(self.d_model, "linear2", self.dtype)(src2)
+        return norm("norm2")(src + drop("d2")(src2))
 
 
 class TransformerDecoderLayer(nn.Module):
@@ -182,30 +197,36 @@ class TransformerDecoderLayer(nn.Module):
     dim_feedforward: int = 2048
     dropout_rate: float = 0.1
     has_ca_qpos_proj: bool = True  # only the first layer keeps it (ref :132-133)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, tgt, memory, pos, query_pos, query_sine_embed,
                  is_first: bool, *, train: bool, key_padding_mask=None):
         d = self.d_model
+        dt = self.dtype
         drop = lambda: TPUDropout(self.dropout_rate, deterministic=not train)
+        norm = lambda name: nn.LayerNorm(epsilon=1e-5,
+                                         use_fast_variance=False,
+                                         dtype=dt, name=name)
+        tgt = tgt.astype(dt)
 
         # ---- self-attention (ref :294-314)
-        q = _dense(d, "sa_qcontent_proj")(tgt) + _dense(d, "sa_qpos_proj")(
-            query_pos)
-        k = _dense(d, "sa_kcontent_proj")(tgt) + _dense(d, "sa_kpos_proj")(
-            query_pos)
-        v = _dense(d, "sa_v_proj")(tgt)
-        tgt2 = RawAttention(d, self.nhead, d, self.dropout_rate,
+        q = _dense(d, "sa_qcontent_proj", dt)(tgt) + _dense(
+            d, "sa_qpos_proj", dt)(query_pos)
+        k = _dense(d, "sa_kcontent_proj", dt)(tgt) + _dense(
+            d, "sa_kpos_proj", dt)(query_pos)
+        v = _dense(d, "sa_v_proj", dt)(tgt)
+        tgt2 = RawAttention(d, self.nhead, d, self.dropout_rate, dtype=dt,
                             name="self_attn")(q, k, v, train=train)
-        tgt = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, name="norm1")(tgt + drop()(tgt2))
+        tgt = norm("norm1")(tgt + drop()(tgt2))
 
         # ---- cross-attention (ref :316-349)
-        q_content = _dense(d, "ca_qcontent_proj")(tgt)
-        k_content = _dense(d, "ca_kcontent_proj")(memory)
-        v = _dense(d, "ca_v_proj")(memory)
-        k_pos = _dense(d, "ca_kpos_proj")(pos)
+        q_content = _dense(d, "ca_qcontent_proj", dt)(tgt)
+        k_content = _dense(d, "ca_kcontent_proj", dt)(memory)
+        v = _dense(d, "ca_v_proj", dt)(memory)
+        k_pos = _dense(d, "ca_kpos_proj", dt)(pos)
         if is_first and self.has_ca_qpos_proj:
-            q = q_content + _dense(d, "ca_qpos_proj")(query_pos)
+            q = q_content + _dense(d, "ca_qpos_proj", dt)(query_pos)
             k = k_content + k_pos
         else:
             q = q_content
@@ -214,23 +235,23 @@ class TransformerDecoderLayer(nn.Module):
         b, nq, _ = q.shape
         hw = k.shape[1]
         hd = d // self.nhead
-        qse = _dense(d, "ca_qpos_sine_proj")(query_sine_embed)
+        qse = _dense(d, "ca_qpos_sine_proj", dt)(query_sine_embed)
         q = jnp.concatenate([q.reshape(b, nq, self.nhead, hd),
                              qse.reshape(b, nq, self.nhead, hd)],
                             axis=3).reshape(b, nq, d * 2)
         k = jnp.concatenate([k.reshape(b, hw, self.nhead, hd),
                              k_pos.reshape(b, hw, self.nhead, hd)],
                             axis=3).reshape(b, hw, d * 2)
-        tgt2 = RawAttention(d * 2, self.nhead, d, self.dropout_rate,
+        tgt2 = RawAttention(d * 2, self.nhead, d, self.dropout_rate, dtype=dt,
                             name="cross_attn")(
             q, k, v, train=train, key_padding_mask=key_padding_mask)
-        tgt = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, name="norm2")(tgt + drop()(tgt2))
+        tgt = norm("norm2")(tgt + drop()(tgt2))
 
         # ---- FFN (ref :354-357)
-        tgt2 = _dense(self.dim_feedforward, "linear1")(tgt)
+        tgt2 = _dense(self.dim_feedforward, "linear1", dt)(tgt)
         tgt2 = drop()(nn.relu(tgt2))
-        tgt2 = _dense(self.d_model, "linear2")(tgt2)
-        return nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, name="norm3")(tgt + drop()(tgt2))
+        tgt2 = _dense(self.d_model, "linear2", dt)(tgt2)
+        return norm("norm3")(tgt + drop()(tgt2))
 
 
 class Transformer(nn.Module):
@@ -245,40 +266,47 @@ class Transformer(nn.Module):
     # also return the encoder memory reshaped to (B, H, W, D) — used by the
     # panoptic mask head (segmentation.py DETRsegm)
     return_memory: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, src, mask, query_embed, pos_embed, *, train: bool):
         b, h, w, c = src.shape
         src = src.reshape(b, h * w, c)
-        pos = pos_embed.reshape(b, h * w, -1)
+        pos = pos_embed.reshape(b, h * w, -1).astype(self.dtype)
         mask_flat = mask.reshape(b, h * w) if mask is not None else None
         query_pos = jnp.broadcast_to(query_embed[None],
-                                     (b, *query_embed.shape))
+                                     (b, *query_embed.shape)
+                                     ).astype(self.dtype)
 
         memory = src
         for i in range(self.num_encoder_layers):
             memory = TransformerEncoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward,
-                self.dropout_rate, name=f"encoder_layer{i}")(
+                self.dropout_rate, dtype=self.dtype,
+                name=f"encoder_layer{i}")(
                 memory, pos, train=train, key_padding_mask=mask_flat)
 
-        # decoder (ref :122-179)
+        # decoder (ref :122-179).  The reference-point head stays f32 —
+        # its sigmoid output parameterises point positions.
         ref_before_sigmoid = MLP(self.d_model, 2, 2, name="ref_point_head")(
-            query_pos)
+            query_pos.astype(jnp.float32))
         reference_points = jax.nn.sigmoid(ref_before_sigmoid)  # (B, Q, 2)
-        query_scale = MLP(self.d_model, self.d_model, 2, name="query_scale")
+        query_scale = MLP(self.d_model, self.d_model, 2, dtype=self.dtype,
+                          name="query_scale")
 
         output = jnp.zeros_like(query_pos)
         intermediate = []
-        norm = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, name="decoder_norm")
+        norm = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False,
+                            dtype=self.dtype, name="decoder_norm")
         for i in range(self.num_decoder_layers):
             pos_transformation = 1.0 if i == 0 else query_scale(output)
-            query_sine_embed = gen_sineembed_for_position(
-                reference_points, self.d_model) * pos_transformation
+            query_sine_embed = (gen_sineembed_for_position(
+                reference_points, self.d_model).astype(self.dtype)
+                * pos_transformation)
             output = TransformerDecoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward,
                 self.dropout_rate, has_ca_qpos_proj=(i == 0),
-                name=f"decoder_layer{i}")(
+                dtype=self.dtype, name=f"decoder_layer{i}")(
                 output, memory, pos, query_pos, query_sine_embed,
                 is_first=(i == 0), train=train,
                 key_padding_mask=mask_flat)
