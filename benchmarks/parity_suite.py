@@ -231,7 +231,7 @@ def topo_ours(train, val, epochs, base, lr, batch, seed, use_topo):
                            train=False)
     state = TrainState.create(variables["params"],
                               variables.get("batch_stats", {}), tx)
-    (warm_step, _), (topo_step, _) = make_topo_steps(model, tx, "TopoLoss", 1)
+    (warm_step, _), (topo_step, _), _pipe = make_topo_steps(model, tx, "TopoLoss", 1)
     rng = np.random.RandomState(seed)
     key = jax.random.key(seed + 1)
     warm_epochs = 5 if use_topo else epochs

@@ -132,7 +132,7 @@ def _pairing_host(likelihood: np.ndarray, target: np.ndarray, max_bars: int,
     for i in range(bsz):
         if _native is not None:
             b, d, n = _native.superlevel_ph0(
-                likelihood[i].astype(np.float32), max_bars)
+                np.asarray(likelihood[i], np.float32), max_bars)
         else:
             b, d, n = _superlevel_ph0_np(likelihood[i], max_bars)
         births[i], deaths[i], nbars[i] = b, d, n

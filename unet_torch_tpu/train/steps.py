@@ -204,6 +204,14 @@ def make_topo_steps(model, tx, loss_type: str, num_classes: int,
         out, _ = forward(state.params, state.batch_stats, x, True, rng)
         return out
 
+    @jax.jit
+    def _lik_only(state, x, rng):
+        # pipelined path: sigmoid computed on-device (a host exp over the
+        # (B,512,512) map costs ~50 ms on this 1-vCPU host), f32 for pairing
+        out, _ = forward(state.params, state.batch_stats, x, True, rng)
+        out = out[..., 0] if out.ndim == 4 else out
+        return jax.nn.sigmoid(out.astype(jnp.float32))
+
     @functools.partial(jax.jit, donate_argnums=0)
     def _topo_update(state, x, births, deaths, nbars, kgt, lr, rng):
         def objective(params):
@@ -234,6 +242,51 @@ def make_topo_steps(model, tx, loss_type: str, num_classes: int,
                             jnp.asarray(deaths), jnp.asarray(nbars),
                             jnp.asarray(kgt), lr, rng)
 
+    class TopoPipeline:
+        """One-batch software pipeline over the two-phase topo step: the
+        device computes batch k's likelihood while the host union-find pairs
+        batch k-1, and batch k-1's update overlaps the next host fetch.
+
+        Scheduling per call k: dispatch _lik_only(state, x_k) (async), then
+        complete batch k-1 — host pairing on its already-computed likelihood,
+        then _topo_update.  Steady-state time/batch = max(host pairing,
+        device fwd+update) instead of their sum.
+
+        Semantics: batch k's pairing indices come from the params *before*
+        batch k-1's update (one step stale).  The differentiated loss still
+        uses current params — staleness only affects which pixels are
+        selected as critical, the standard trade in pipelined PH training.
+        The serial `topo_step` above keeps the exact two-phase semantics.
+        Call `flush` at epoch end to drain the pending batch.
+        """
+
+        def __init__(self):
+            self._pending = None
+
+        def step(self, state, x, y, gt_dot, lr, rng):
+            lik = _lik_only(state, x, rng)  # async dispatch
+            prev, self._pending = self._pending, (x, y, gt_dot, lr, rng, lik)
+            if prev is None:
+                return state, None
+            return self._complete(state, prev)
+
+        def flush(self, state):
+            prev, self._pending = self._pending, None
+            if prev is None:
+                return state, None
+            return self._complete(state, prev)
+
+        def _complete(self, state, prev):
+            import numpy as np
+
+            x, y, gt_dot, lr, rng, lik = prev
+            kgt = np.asarray(jnp.sum(gt_dot, axis=(1, 2))).astype(np.int64)
+            births, deaths, nbars, kgt = compute_pairing(
+                np.asarray(lik), np.asarray(y), max_bars, kgt_override=kgt)
+            return _topo_update(state, x, jnp.asarray(births),
+                                jnp.asarray(deaths), jnp.asarray(nbars),
+                                jnp.asarray(kgt), lr, rng)
+
     def topo_eval(state, x, y, gt_dot):
         out = _fwd_only(state, x, jax.random.key(0))
         births, deaths, nbars, kgt = _pairing(out, y, gt_dot)
@@ -242,4 +295,4 @@ def make_topo_steps(model, tx, loss_type: str, num_classes: int,
                                       jnp.asarray(kgt), max_bars)
         return loss, out
 
-    return (warm_step, warm_eval), (topo_step, topo_eval)
+    return (warm_step, warm_eval), (topo_step, topo_eval), TopoPipeline

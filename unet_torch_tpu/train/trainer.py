@@ -341,16 +341,20 @@ class Trainer:
         tx = make_optimizer(self.optimizer_name, self.base_lr,
                             self.weight_decay)
         self._lr = self.base_lr
-        (warm_step, warm_eval), (topo_step, topo_eval) = make_topo_steps(
-            self.model, tx, self.loss_function, self.num_classes,
-            relu_output=self.relu_output)
+        (warm_step, warm_eval), (topo_step, topo_eval), TopoPipeline = \
+            make_topo_steps(self.model, tx, self.loss_function,
+                            self.num_classes, relu_output=self.relu_output)
 
         totaltime = 0.0
         for epoch in range(self.start_epoch, self.num_epochs + 1):
             self._log(f"Epoch {epoch}/{self.num_epochs}", "-" * 10)
             since = time.time()
-            step = warm_step if epoch <= 5 else topo_step
-            eval_step = warm_eval if epoch <= 5 else topo_eval
+            topo_phase = epoch > 5
+            # pipelined topo phase: host PH pairing of batch k overlaps the
+            # device update of batch k-1 (one-step-stale pairing indices)
+            pipe = TopoPipeline() if topo_phase else None
+            step = (pipe.step if topo_phase else warm_step)
+            eval_step = topo_eval if topo_phase else warm_eval
 
             self._log(f"LR {self._current_lr()}")
             losses = []
@@ -362,7 +366,12 @@ class Trainer:
                 self.state, loss = step(self.state, b[0], b[1], b[2],
                                         self._current_lr(), self.rng.next())
                 self.iter_num += 1
-                losses.append(loss)
+                if loss is not None:
+                    losses.append(loss)
+            if pipe is not None:
+                self.state, loss = pipe.flush(self.state)
+                if loss is not None:
+                    losses.append(loss)
             epoch_loss = float(np.mean([np.asarray(l) for l in losses]))
             time_elapsed = time.time() - since
             totaltime += time_elapsed
