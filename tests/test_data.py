@@ -241,3 +241,23 @@ def test_cltr_forward_with_nested_mask():
                       train=False)
     assert out["pred_logits"].shape == (2, 4, 2)
     assert np.isfinite(np.asarray(out["pred_logits"])).all()
+
+
+def test_peak_local_max_skimage_semantics():
+    """skimage defaults: exclude_border=min_distance, Chebyshev (p_norm=inf)
+    suppression, suppressed candidates never suppress others."""
+    img = np.zeros((32, 32))
+    # border peak at (1, 16): within min_distance=3 of the edge -> excluded
+    img[1, 16] = 1.0
+    img[16, 16] = 0.9
+    coords = peak_local_max(img, min_distance=3).tolist()
+    assert [1, 16] not in coords and [16, 16] in coords
+    # Chebyshev suppression: EQUAL-valued peaks at (10,10)/(13,13) are both
+    # square-filter maxima, Euclidean ~4.24 (> 3) apart but Chebyshev 3 —
+    # skimage's p_norm=inf suppresses the second; Euclidean would keep both
+    img2 = np.zeros((32, 32))
+    img2[10, 10] = 1.0
+    img2[13, 13] = 1.0
+    assert len(peak_local_max(img2, min_distance=3)) == 1
+    # with min_distance=2 (Chebyshev 3 > 2) both survive
+    assert len(peak_local_max(img2, min_distance=2)) == 2

@@ -12,8 +12,16 @@ import numpy as np
 
 
 def peak_local_max(image: np.ndarray, min_distance: int = 1,
-                   threshold_abs: float | None = None) -> np.ndarray:
-    """Returns (N, 2) array of [row, col] peak coordinates."""
+                   threshold_abs: float | None = None,
+                   exclude_border: bool = True) -> np.ndarray:
+    """Returns (N, 2) array of [row, col] peak coordinates.
+
+    Matches skimage.feature.peak_local_max defaults: candidate maxima from a
+    (2*min_distance+1) square maximum filter, peaks within ``min_distance``
+    of the border excluded (``exclude_border=True`` semantics), then
+    intensity-ordered greedy spacing enforcement under the CHEBYSHEV norm
+    (skimage's ``p_norm=np.inf`` default) where a suppressed candidate never
+    suppresses others (ensure_spacing semantics)."""
     from scipy import ndimage
 
     if threshold_abs is None:
@@ -21,6 +29,11 @@ def peak_local_max(image: np.ndarray, min_distance: int = 1,
     size = 2 * min_distance + 1
     maxed = ndimage.maximum_filter(image, size=size, mode="constant")
     mask = (image == maxed) & (image > threshold_abs)
+    if exclude_border and min_distance > 0:
+        border = np.zeros_like(mask)
+        border[min_distance:-min_distance or None,
+               min_distance:-min_distance or None] = True
+        mask &= border
     coords = np.argwhere(mask)
     if len(coords) == 0:
         return coords.reshape(0, 2)
@@ -37,7 +50,8 @@ def peak_local_max(image: np.ndarray, min_distance: int = 1,
         if suppressed[i]:
             continue
         accepted[i] = True
-        for j in tree.query_ball_point(coords[i], r=min_distance):
+        for j in tree.query_ball_point(coords[i], r=min_distance,
+                                       p=np.inf):
             if j != i:
                 suppressed[j] = True
     return coords[accepted]
