@@ -185,12 +185,56 @@ def baseline_cltr(steps=1, batch=1):
     return steps * batch / dt
 
 
+def baseline_unet_infer(steps=3, batch=2):
+    """Reference eval forward (test_single_mc semantics: model -> softmax ->
+    argmax, no grad; ref test_mc3serousv5.py:878-887) on CPU torch."""
+    torch = _torch_setup()
+    from Model import UNet as TorchUNet
+
+    torch.manual_seed(0)
+    model = TorchUNet(CHANNELS, N_CLASSES, 64, usa_cuda=False)
+    model.eval()
+    x = torch.randn(batch, CHANNELS, SIZE, SIZE)
+
+    def step():
+        with torch.no_grad():
+            torch.argmax(torch.softmax(model(x), dim=1), dim=1)
+
+    dt = _time_torch_steps(step, steps)
+    return steps * batch / dt
+
+
+def baseline_transunet_infer(steps=1, batch=1):
+    torch = _torch_setup()
+    import copy
+
+    from TransUnet.vit_seg_modeling import CONFIGS, VisionTransformer
+
+    torch.manual_seed(0)
+    cfg = copy.deepcopy(CONFIGS["R50-ViT-B_16"])
+    cfg.n_classes = N_CLASSES
+    cfg.n_skip = 3
+    cfg.patches.grid = (SIZE // 16, SIZE // 16)
+    model = VisionTransformer(cfg, img_size=SIZE, num_classes=N_CLASSES)
+    model.eval()
+    x = torch.randn(batch, CHANNELS, SIZE, SIZE)
+
+    def step():
+        with torch.no_grad():
+            torch.argmax(torch.softmax(model(x), dim=1), dim=1)
+
+    dt = _time_torch_steps(step, steps)
+    return steps * batch / dt
+
+
 BASELINES = {
     "unet_ce": baseline_unet_ce,
     "unet_mc": baseline_unet_mc,
     "multitask": baseline_multitask,
     "transunet": baseline_transunet,
     "cltr": baseline_cltr,
+    "unet_infer": baseline_unet_infer,
+    "transunet_infer": baseline_transunet_infer,
 }
 
 
@@ -269,7 +313,7 @@ def tpu_unet(batch=16, dtype_name="bfloat16", remat=False, loss="CE",
     return steps * batch / dt
 
 
-def tpu_multitask(batch=8, steps=10):
+def _make_multitask_state(batch):
     import numpy as np
 
     import jax
@@ -297,13 +341,16 @@ def tpu_multitask(batch=8, steps=10):
         state, loss, _l1, _l2 = step(state, *a)
         return state, loss
 
-    dt = _run_tpu_steps(fn, state, (x, y1, y2, 1e-3, key, no_ratio), steps)
+    return fn, state, (x, y1, y2, 1e-3, key, no_ratio)
+
+
+def tpu_multitask(batch=8, steps=10):
+    fn, state, args = _make_multitask_state(batch)
+    dt = _run_tpu_steps(fn, state, args, steps)
     return steps * batch / dt
 
 
-def tpu_transunet(batch=8, steps=10):
-    # batch sweep (r3): b4 31.0, b8 47.7, b16 43.2 img/s — b8 is the knee
-    # (b4 under-occupies the MXU; b16 trips memory-pressure remat).
+def _make_transunet_state(batch):
     import numpy as np
 
     import jax
@@ -326,14 +373,18 @@ def tpu_transunet(batch=8, steps=10):
                               variables.get("batch_stats", {}), tx)
     step, _ = make_single_steps(model, tx, "dice_bce_mc", "dice_bce_mc",
                                 N_CLASSES)
-    dt = _run_tpu_steps(step, state, (x, y, 1e-3, jax.random.key(1)), steps)
+    return step, state, (x, y, 1e-3, jax.random.key(1))
+
+
+def tpu_transunet(batch=8, steps=10):
+    # batch sweep (r3): b4 31.0, b8 47.7, b16 43.2 img/s — b8 is the knee
+    # (b4 under-occupies the MXU; b16 trips memory-pressure remat).
+    step, state, args = _make_transunet_state(batch)
+    dt = _run_tpu_steps(step, state, args, steps)
     return steps * batch / dt
 
 
-def tpu_cltr(batch=8, steps=10, precision="bf16"):
-    # batch sweep (r3): b4 35.7, b8 40.1, b16 35.4 img/s — b8 optimal.
-    # r4: transformer compute dtype configurable; criterion/softmax/points
-    # stay f32 (models/cltr/model.py).
+def _make_cltr_state(batch, precision="bf16"):
     import numpy as np
 
     import jax
@@ -363,10 +414,75 @@ def tpu_cltr(batch=8, steps=10, precision="bf16"):
         state, loss, _ = fused(state, *a)
         return state, loss
 
-    dt = _run_tpu_steps(fn, state, (x, jnp.asarray(labels),
-                                    jnp.asarray(points), jnp.asarray(valid),
-                                    1e-4, jax.random.key(1)), steps)
+    return fn, state, (x, jnp.asarray(labels), jnp.asarray(points),
+                       jnp.asarray(valid), 1e-4, jax.random.key(1))
+
+
+def tpu_cltr(batch=8, steps=10, precision="bf16"):
+    # batch sweep (r3): b4 35.7, b8 40.1, b16 35.4 img/s — b8 optimal.
+    # r4: transformer compute dtype configurable; criterion/softmax/points
+    # stay f32 (models/cltr/model.py).
+    fn, state, args = _make_cltr_state(batch, precision)
+    dt = _run_tpu_steps(fn, state, args, steps)
     return steps * batch / dt
+
+
+def tpu_unet_infer(batch=16, steps=20):
+    """Inference path (the driver target is train+infer, BASELINE.json:2):
+    jit'd eval forward (train=False, running BN stats), softmax+argmax on
+    device — the same signature eval/reports.py::make_predict_fn batches
+    tiles through — honest sync via device_get."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from unet_torch_tpu.models.unet import UNet
+
+    model = UNet(CHANNELS, N_CLASSES, 64, fold=True, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, SIZE, SIZE, CHANNELS), jnp.float32)
+    variables = model.init(jax.random.key(0), x[:1], train=False)
+
+    @jax.jit
+    def predict(x):
+        out = model.apply(variables, x, train=False)
+        return jnp.argmax(jax.nn.softmax(out, axis=-1), axis=-1)
+
+    np.asarray(predict(x))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(steps - 1):
+        pred = predict(x)
+    np.asarray(pred)
+    return (steps - 1) * batch / (time.perf_counter() - t0)
+
+
+def tpu_transunet_infer(batch=16, steps=10):
+    """TransUnet R50-ViT-B/16 512^2 eval forward throughput."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from unet_torch_tpu.models.transunet import build_transunet
+
+    model = build_transunet("TransUnet", img_size=SIZE, n_channels=CHANNELS,
+                            num_classes=N_CLASSES, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, SIZE, SIZE, CHANNELS), jnp.float32)
+    variables = model.init(jax.random.key(0), x[:1], train=False)
+
+    @jax.jit
+    def predict(x):
+        out = model.apply(variables, x, train=False)
+        return jnp.argmax(jax.nn.softmax(out, axis=-1), axis=-1)
+
+    np.asarray(predict(x))
+    t0 = time.perf_counter()
+    for _ in range(steps - 1):
+        pred = predict(x)
+    np.asarray(pred)
+    return (steps - 1) * batch / (time.perf_counter() - t0)
 
 
 def tpu_topo(batch=8, steps=5):
@@ -422,6 +538,9 @@ CONFIGS = [
     ("transunet_r50vitb16_512px_bf16_b8", tpu_transunet, "transunet"),
     ("cltr_2000q_256px_bf16_b8_fused", tpu_cltr, "cltr"),
     ("unet64_512px_topo_two_phase_b8", tpu_topo, None),
+    ("unet64_512px_bf16_b16_infer", tpu_unet_infer, "unet_infer"),
+    ("transunet_r50vitb16_512px_bf16_b16_infer", tpu_transunet_infer,
+     "transunet_infer"),
 ]
 
 
