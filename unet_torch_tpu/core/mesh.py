@@ -56,19 +56,22 @@ def shard_batch(mesh: Mesh, batch):
     multiprocess = jax.process_count() > 1
 
     def put(x):
-        divisible = hasattr(x, "shape") and x.ndim > 0 and \
-            x.shape[0] % n_data == 0
         if multiprocess:
             # x is this process's LOCAL shard (NumpyLoader num_shards);
             # assemble the global array from per-host slices — no cross-host
-            # data movement, XLA sees one global batch
+            # data movement, XLA sees one global batch.  Divisibility is
+            # against the PER-PROCESS slice of the data axis (the local
+            # shard only feeds this host's devices).
             import numpy as np_
 
             x = np_.asarray(x)
-            if divisible and x.shape[0] % max(
-                    1, n_data // jax.process_count()) == 0:
+            local_n = max(1, n_data // jax.process_count())
+            if hasattr(x, "shape") and x.ndim > 0 and \
+                    x.shape[0] % local_n == 0:
                 return jax.make_array_from_process_local_data(sharded, x)
             return jax.make_array_from_process_local_data(replicated, x)
+        divisible = hasattr(x, "shape") and x.ndim > 0 and \
+            x.shape[0] % n_data == 0
         return jax.device_put(x, sharded if divisible else replicated)
 
     return jax.tree_util.tree_map(put, batch)
