@@ -261,3 +261,50 @@ def test_peak_local_max_skimage_semantics():
     assert len(peak_local_max(img2, min_distance=3)) == 1
     # with min_distance=2 (Chebyshev 3 > 2) both survive
     assert len(peak_local_max(img2, min_distance=2)) == 2
+
+
+def test_rgb2hed_golden_vectors():
+    """Frozen golden vectors for the HED deconvolution, generated once with
+    the published skimage.color.separate_stains algorithm (identical
+    Ruifrok-Johnston rgb_from_hed constants, maximum(rgb,1e-6),
+    log(rgb)/log(1e-6) @ inv(M), clip at 0) in float64.  Pins the constants
+    and formula against drift."""
+    from unet_torch_tpu.data.stain import rgb2hed
+
+    pixels = np.array([[30, 60, 90], [200, 150, 180], [120, 20, 255],
+                       [255, 255, 255], [0, 0, 0]], np.uint8).reshape(1, 5, 3)
+    golden = np.array([
+        [0.2386292504, 0.0, 0.0182842093],
+        [0.0153181227, 0.0137509814, 0.0246877124],
+        [0.0903187322, 0.1540972271, 0.0],
+        [0.0, 0.0, 0.0],
+        [1.2101673112, 0.0, 0.8819504551]])
+    np.testing.assert_allclose(rgb2hed(pixels)[0], golden, atol=1e-9)
+
+
+def test_macenko_frozen_regression_vectors():
+    """Regression pin for the Macenko normaliser: a deterministic synthetic
+    tile's stain matrix and normalised output are frozen (self-generated —
+    staintools does not exist in this image to produce external vectors;
+    the algorithmic steps follow the Macenko method as staintools implements
+    it: OD -> eigh -> robust angle percentiles -> 99th-pct concentration
+    scaling).  Any change to the pipeline's numerics breaks this loudly."""
+    from unet_torch_tpu.data.stain import _macenko_stain_matrix
+
+    rng = np.random.RandomState(3)
+    img = np.full((32, 32, 3), 235, np.uint8)
+    yy, xx = np.mgrid[:32, :32]
+    for cy, cx, col in [(8, 8, (130, 80, 160)), (20, 22, (170, 120, 190)),
+                        (14, 26, (110, 60, 140))]:
+        blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= 25
+        img[blob] = col
+    img = np.clip(img.astype(int) + rng.randint(-8, 8, img.shape), 0,
+                  255).astype(np.uint8)
+    he = _macenko_stain_matrix(img)
+    assert he.shape == (2, 3)
+    # rows are unit-normalised OD directions
+    np.testing.assert_allclose(np.linalg.norm(he, axis=1), [1.0, 1.0],
+                               atol=1e-9)
+    frozen = np.array([[0.5175554231, 0.7777861007, 0.3566302927],
+                 [0.4020184690, 0.8611826307, 0.3110395909]])
+    np.testing.assert_allclose(he, frozen, atol=1e-6)
