@@ -34,6 +34,19 @@ def run_steps(batch: int, steps: int, log_dir: str, remat: bool = False,
     from unet_torch_tpu.train.steps import make_single_steps
     from unet_torch_tpu.utils.debug import profile_trace
 
+    if model_name == "cltr":
+        # reuse the bench builder so the profiled step is the bench step
+        import bench
+
+        fn, state, args = bench._make_cltr_state(batch)
+        for _ in range(2):
+            state, loss = fn(state, *args)
+            float(loss)
+        with profile_trace(log_dir):
+            for _ in range(steps):
+                state, loss = fn(state, *args)
+            float(loss)
+        return
     if model_name == "transunet":
         from unet_torch_tpu.models.transunet import build_transunet
         model = build_transunet("TransUnet", img_size=512, n_channels=3,
@@ -115,7 +128,8 @@ def main():
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--fold", action="store_true")
-    ap.add_argument("--model", default="unet", choices=["unet", "transunet"])
+    ap.add_argument("--model", default="unet",
+                    choices=["unet", "transunet", "cltr"])
     ap.add_argument("--log-dir", default="")
     args = ap.parse_args()
     log_dir = args.log_dir or tempfile.mkdtemp(prefix="unet_prof_")

@@ -209,6 +209,92 @@ def multitask_ours(train, val, epochs, base, lr, batch, seed):
     return _count_mae(o1, o2, vy1, vy2)
 
 
+# ------------------------------------------------------- TransUnet trained
+
+def _small_tu_mods(cfg):
+    """Shrink R50-ViT-B/16 to a CPU-trainable hybrid (same structure: ResNetV2
+    stem + 3 stages + skips, pre-LN transformer, DecoderCup): hidden 64,
+    2 layers, 4 heads, mlp 128, (1,1,1) bottleneck units, 64^2 grid (4,4).
+    Applied identically to the reference CONFIGS entry and ours."""
+    cfg.hidden_size = 64
+    cfg.transformer.num_layers = 2
+    cfg.transformer.num_heads = 4
+    cfg.transformer.mlp_dim = 128
+    cfg.patches.grid = (4, 4)
+    cfg.resnet.num_layers = (1, 1, 1)
+    cfg.n_classes = 3
+    cfg.n_skip = 3
+    return cfg
+
+
+def tu_torch(train, val, epochs, lr, batch, seed):
+    import copy
+
+    import torch
+
+    _torch_setup()
+    import loss as ref_loss
+    from TransUnet.vit_seg_modeling import CONFIGS, VisionTransformer
+
+    ref_loss.CLASS_NUMBER = 3
+    torch.manual_seed(seed)
+    (xs, ys), (vx, vy) = train, val
+    cfg = _small_tu_mods(copy.deepcopy(CONFIGS["R50-ViT-B_16"]))
+    model = VisionTransformer(cfg, img_size=64, num_classes=3)
+    opt = torch.optim.Adam(model.parameters(), lr=lr, weight_decay=1e-4)
+    xs_t = torch.from_numpy(xs.transpose(0, 3, 1, 2))
+    ys_t = torch.from_numpy(ys).float()
+    model.train()
+    for _ in range(epochs):
+        perm = torch.randperm(len(xs_t))
+        for i in range(0, len(xs_t), batch):
+            idx = perm[i:i + batch]
+            opt.zero_grad()
+            ref_loss.calc_loss(model(xs_t[idx]), ys_t[idx],
+                               loss_type="dice_bce_mc").backward()
+            opt.step()
+    model.eval()
+    with torch.no_grad():
+        pred = model(torch.from_numpy(vx.transpose(0, 3, 1, 2))).argmax(1)
+    return dice_multiclass(pred.numpy(), vy, 3)
+
+
+def tu_ours(train, val, epochs, lr, batch, seed):
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from unet_torch_tpu.models.transunet.configs import CONFIGS
+    from unet_torch_tpu.models.transunet.vit import VisionTransformer
+    from unet_torch_tpu.train.optim import make_optimizer
+    from unet_torch_tpu.train.state import TrainState
+    from unet_torch_tpu.train.steps import make_single_steps
+
+    (xs, ys), (vx, vy) = train, val
+    cfg = _small_tu_mods(copy.deepcopy(CONFIGS["R50-ViT-B_16"]))
+    model = VisionTransformer(cfg, 64, 3)
+    tx = make_optimizer("Adam", lr, 1e-4)
+    variables = model.init(jax.random.key(seed), jnp.asarray(xs[:1]),
+                           train=False)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    step, _ = make_single_steps(model, tx, "dice_bce_mc", "dice_bce_mc", 3)
+    rng = np.random.RandomState(seed)
+    key = jax.random.key(seed + 1)
+    for _ in range(epochs):
+        perm = rng.permutation(len(xs))
+        for i in range(0, len(xs), batch):
+            idx = perm[i:i + batch]
+            state, _ = step(state, jnp.asarray(xs[idx]),
+                            jnp.asarray(ys[idx], jnp.float32), lr, key)
+    out = model.apply({"params": state.params,
+                       "batch_stats": state.batch_stats},
+                      jnp.asarray(vx), train=False)
+    pred = np.argmax(np.asarray(out, np.float32), axis=-1)
+    return dice_multiclass(pred, vy, 3)
+
+
 # ---------------------------------------------------------------- topo (ours)
 
 def topo_ours(train, val, epochs, base, lr, batch, seed, use_topo):
@@ -341,6 +427,25 @@ def main():
             "per_seed_f32": [round(v, 4) for v in f32],
             "per_seed_bf16": [round(v, 4) for v in bf16]}
         print("bf16:", json.dumps(results["bf16_vs_f32"]), flush=True)
+
+    if "transunet" in wanted:
+        train, val = make_data(n_train=32, n_val=48)
+        ref = [tu_torch(train, val, args.epochs, args.lr, args.batch, s)
+               for s in seeds]
+        ours = [tu_ours(train, val, args.epochs, args.lr, args.batch, s)
+                for s in seeds]
+        results["transunet_dice_bce_mc"] = {
+            "note": "R50-ViT-B/16 shrunk to hidden 64 / 2 layers / (1,1,1) "
+                    "resnet units, 64^2, identical mods both frameworks "
+                    "(ref train.py:219-238 TransUnet mode)",
+            "torch_dice": round(float(np.mean(ref)), 4),
+            "ours_dice": round(float(np.mean(ours)), 4),
+            "abs_gap": round(abs(float(np.mean(ref)) -
+                                 float(np.mean(ours))), 4),
+            "per_seed_torch": [round(v, 4) for v in ref],
+            "per_seed_ours": [round(v, 4) for v in ours]}
+        print("transunet:", json.dumps(results["transunet_dice_bce_mc"]),
+              flush=True)
 
     if "topo" in wanted:
         train, val = make_binary_data()
