@@ -227,3 +227,90 @@ def test_masked_attention_kernels_match_reference():
     for a, e in zip(g_w, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                    rtol=1e-3, atol=1e-4)
+
+
+class TestDropoutFlashAttention:
+    """Dropout-flash kernel (train-path attention with in-kernel counter-hash
+    masks): oracle = einsum attention with the same mask computed via the
+    shared _dropout_keep formula."""
+
+    def _mask(self, A, bh_n, nq, nk, nk_p, seed, rate):
+        import jax.numpy as jnp
+        thr = min(int(rate * 2 ** 32), 2 ** 32 - 1)
+        return jnp.stack([
+            A._dropout_keep(jnp.uint32(seed), jnp.uint32(bh), 0, 0,
+                            (nq, nk), nk_p, thr)
+            for bh in range(bh_n)]).astype(jnp.float32)
+
+    def _oracle(self, q, k, v, mask, scale, rate):
+        import jax
+        import jax.numpy as jnp
+        s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                       k.astype(jnp.float32)) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        b, h, nq, nk = s.shape
+        p = p * mask.reshape(b, h, nq, nk) / (1.0 - rate)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+
+    def test_rate0_matches_plain_attention(self):
+        import jax.numpy as jnp
+        from unet_torch_tpu.kernels import attention as A
+
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(1, 2, 24, 8), jnp.float32)
+        k = jnp.asarray(rng.randn(1, 2, 40, 8), jnp.float32)
+        v = jnp.asarray(rng.randn(1, 2, 40, 8), jnp.float32)
+        out = A.dropout_flash_attention(q, k, v, jnp.uint32(7), 8 ** -0.5,
+                                        0.0, True)
+        ref = A.attention_reference(q, k, v, 8 ** -0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_dropout_fwd_bwd_vs_oracle_multitile(self):
+        import jax
+        import jax.numpy as jnp
+        from unet_torch_tpu.kernels import attention as A
+
+        rng = np.random.RandomState(1)
+        rate, seed, scale = 0.3, 99, 8 ** -0.5
+        q = jnp.asarray(rng.randn(1, 1, 40, 8), jnp.float32)
+        k = jnp.asarray(rng.randn(1, 1, 300, 8), jnp.float32)
+        v = jnp.asarray(rng.randn(1, 1, 300, 8), jnp.float32)
+        mask = self._mask(A, 1, 40, 300, A._ceil_to(300, 128), seed, rate)
+        out = A.dropout_flash_attention(q, k, v, jnp.uint32(seed), scale,
+                                        rate, True)
+        ref = self._oracle(q, k, v, mask, scale, rate)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+        # keep fraction sane
+        assert abs(float(mask.mean()) - (1 - rate)) < 0.02
+
+        def loss_k(q, k, v):
+            return (A.dropout_flash_attention(q, k, v, jnp.uint32(seed),
+                                              scale, rate, True) ** 2).sum()
+
+        def loss_o(q, k, v):
+            return (self._oracle(q, k, v, mask, scale, rate) ** 2).sum()
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2))(q, k, v)
+        go = jax.grad(loss_o, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gk, go):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
+
+    def test_deterministic_and_seed_sensitive(self):
+        import jax.numpy as jnp
+        from unet_torch_tpu.kernels import attention as A
+
+        rng = np.random.RandomState(2)
+        q = jnp.asarray(rng.randn(1, 2, 16, 8), jnp.float32)
+        k = jnp.asarray(rng.randn(1, 2, 16, 8), jnp.float32)
+        v = jnp.asarray(rng.randn(1, 2, 16, 8), jnp.float32)
+        a1 = A.dropout_flash_attention(q, k, v, jnp.uint32(5), 8 ** -0.5,
+                                       0.5, True)
+        a2 = A.dropout_flash_attention(q, k, v, jnp.uint32(5), 8 ** -0.5,
+                                       0.5, True)
+        b1 = A.dropout_flash_attention(q, k, v, jnp.uint32(6), 8 ** -0.5,
+                                       0.5, True)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        assert np.abs(np.asarray(a1) - np.asarray(b1)).max() > 1e-3

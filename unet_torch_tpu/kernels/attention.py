@@ -321,3 +321,339 @@ def fused_attention(q, k, v, scale=None, key_padding_mask=None,
     if flash:
         return _attention_flash_diff(q, k, v, float(scale), interpret)
     return _attention_pallas_diff(q, k, v, float(scale), interpret)
+
+
+# ---------------------------------------------------------------------------
+# Dropout flash attention (train path): in-kernel PRNG masks, flash backward
+# ---------------------------------------------------------------------------
+#
+# The CLTR decoder self-attention (2000 queries, ref CLTR/transformer.py:
+# 284-314) trains with attention-probs dropout (attention.py:355).  The r3
+# remat'd-einsum path still materialised (B,H,Nq,Nk) probs + u32 rng bits +
+# keep masks in HBM every layer: the r4 profile put ~110 of 132 ms of the
+# CLTR b8 step into exactly those tensors.  This kernel family keeps the
+# whole train path tiled in VMEM:
+#   fwd   flash (online softmax) with dropout applied to the normalised
+#         probs inside the tile; saves only (o, lse) residuals
+#   bwd   two flash passes (dk/dv with q innermost; dq with k innermost)
+#         that RECOMPUTE s/p per tile from q,k + lse
+# The dropout mask is never stored: each (bh, q-tile, k-tile) cell reseeds
+# the per-core PRNG with a hash of (base_seed, bh, qi, ki), so forward and
+# both backward passes regenerate bit-identical masks.
+#
+# keep = bits >= rate * 2^32  (P(keep) = 1 - rate), survivors scaled by
+# 1/(1-rate) — inverted dropout, same convention as nn/blocks.py::TPUDropout.
+
+
+def _mix32(x):
+    """murmur3 finalizer — avalanching 32-bit mix (public constant-set)."""
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> jnp.uint32(13))
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> jnp.uint32(16))
+    return x
+
+
+def _dropout_keep(seed, bh, q0, k0, shape, nk_total, thr):
+    """Counter-based keep mask for the (q0.., k0..) tile: a pure function of
+    (seed, batch*head, global row, global col), so the forward and both
+    backward passes regenerate IDENTICAL masks with no stored state, on any
+    backend (pltpu.prng has no interpret-mode lowering).  P(keep) =
+    1 - thr/2^32."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(q0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) + jnp.uint32(k0)
+    base = _mix32(seed.astype(jnp.uint32)
+                  ^ (bh.astype(jnp.uint32) * jnp.uint32(2654435761)))
+    h = _mix32((r * jnp.uint32(nk_total) + c) ^ base)
+    return h >= jnp.uint32(thr)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "rate", "block_q",
+                                             "block_k", "interpret"))
+def _dropout_flash_fwd(q, k, v, seed, scale, rate, block_q=256, block_k=512,
+                       interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, nq, dqk = q.shape
+    nk = k.shape[2]
+    dv = v.shape[3]
+    bq = min(block_q, _ceil_to(nq, 8))
+    bk = min(block_k, _ceil_to(nk, 128))
+    nq_p, nk_p = _ceil_to(nq, bq), _ceil_to(nk, bk)
+    qf = q.reshape(b * h, nq, dqk)
+    kf = k.reshape(b * h, nk, dqk)
+    vf = v.reshape(b * h, nk, dv)
+    if nq_p != nq:
+        qf = jnp.pad(qf, ((0, 0), (0, nq_p - nq), (0, 0)))
+    if nk_p != nk:
+        kf = jnp.pad(kf, ((0, 0), (0, nk_p - nk), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, nk_p - nk), (0, 0)))
+    nqt, nkt = nq_p // bq, nk_p // bk
+    thr = min(int(rate * 2 ** 32), 2 ** 32 - 1)  # python int: kernel const
+    inv_keep = 1.0 / (1.0 - rate)
+
+    def kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+               m_scr, l_scr, acc_scr):
+        i, qi, ki = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+        @pl.when(ki == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, -1e30)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        qb = q_ref[0].astype(jnp.float32)
+        kb = k_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < nk, s, -1e30)
+
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        e = jnp.exp(s - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_scr[...] = l_scr[...] * corr + jnp.sum(e, axis=-1, keepdims=True)
+
+        keep = _dropout_keep(seed_ref[0], i, qi * bq, ki * bk, s.shape,
+                             nk_p, thr)
+        e_drop = jnp.where(keep, e * inv_keep, 0.0)
+        pv = jax.lax.dot_general(e_drop.astype(v_ref.dtype), v_ref[0],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * corr + pv
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+
+        @pl.when(ki == nkt - 1)
+        def _final():
+            o_ref[0] = (acc_scr[...] / l_scr[...]).astype(o_ref.dtype)
+            lse_ref[0] = (m_scr[:, 0] + jnp.log(l_scr[:, 0]))
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(b * h, nqt, nkt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, dqk), lambda i, j, ki: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dqk), lambda i, j, ki: (i, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dv), lambda i, j, ki: (i, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, dv), lambda i, j, ki: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda i, j, ki: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, nq_p, dv), q.dtype),
+            jax.ShapeDtypeStruct((b * h, nq_p), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, dv), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed.reshape(1).astype(jnp.uint32), qf, kf, vf)
+    return out[:, :nq].reshape(b, h, nq, dv), lse
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "rate", "block_q",
+                                             "block_k", "interpret"))
+def _dropout_flash_bwd(q, k, v, seed, lse, dly, g, scale, rate, block_q=256,
+                       block_k=512, interpret=False):
+    """dly: rowwise sum(g * o) (the softmax-backward D term), (BH, nq_p)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, nq, dqk = q.shape
+    nk = k.shape[2]
+    dv = v.shape[3]
+    bq = min(block_q, _ceil_to(nq, 8))
+    bk = min(block_k, _ceil_to(nk, 128))
+    nq_p, nk_p = _ceil_to(nq, bq), _ceil_to(nk, bk)
+    qf = q.reshape(b * h, nq, dqk)
+    kf = k.reshape(b * h, nk, dqk)
+    vf = v.reshape(b * h, nk, dv)
+    gf = g.reshape(b * h, nq, dv)
+    if nq_p != nq:
+        qf = jnp.pad(qf, ((0, 0), (0, nq_p - nq), (0, 0)))
+        gf = jnp.pad(gf, ((0, 0), (0, nq_p - nq), (0, 0)))
+    if nk_p != nk:
+        kf = jnp.pad(kf, ((0, 0), (0, nk_p - nk), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, nk_p - nk), (0, 0)))
+    nqt, nkt = nq_p // bq, nk_p // bk
+    thr = min(int(rate * 2 ** 32), 2 ** 32 - 1)  # python int: kernel const
+    inv_keep = 1.0 / (1.0 - rate)
+    sd = seed.reshape(1).astype(jnp.uint32)
+
+    def recompute(seed_ref, q_ref, k_ref, lse_ref, i, qi, ki):
+        qb = q_ref[0].astype(jnp.float32)
+        kb = k_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < nk, s, -1e30)
+        p = jnp.exp(s - lse_ref[0][:, None])
+        keep = _dropout_keep(seed_ref[0], i, qi * bq, ki * bk, s.shape,
+                             nk_p, thr)
+        return p, keep
+
+    # ---- pass 1: dk, dv (grid: k tiles outer, q tiles inner)
+    def kernel_dkv(seed_ref, q_ref, k_ref, v_ref, g_ref, lse_ref, d_ref,
+                   dk_ref, dv_ref, dk_scr, dv_scr):
+        i, ki, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+        @pl.when(qi == 0)
+        def _init():
+            dk_scr[...] = jnp.zeros_like(dk_scr)
+            dv_scr[...] = jnp.zeros_like(dv_scr)
+
+        p, keep = recompute(seed_ref, q_ref, k_ref, lse_ref, i, qi, ki)
+        gb = g_ref[0].astype(jnp.float32)
+        vb = v_ref[0].astype(jnp.float32)
+        p_drop = jnp.where(keep, p * inv_keep, 0.0)
+        # dv[k, d] = sum_q p_drop[q, k] g[q, d]
+        dv_scr[...] += jax.lax.dot_general(
+            p_drop, gb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(gb, vb, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jnp.where(keep, dp * inv_keep, 0.0)
+        ds = p * (dp - d_ref[0][:, None])
+        # dk[k, d] = sum_q ds[q, k] q[q, d] * scale
+        dk_scr[...] += jax.lax.dot_general(
+            ds, q_ref[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+        @pl.when(qi == nqt - 1)
+        def _final():
+            dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+            dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+    dk, dvv = pl.pallas_call(
+        kernel_dkv,
+        grid=(b * h, nkt, nqt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, dqk), lambda i, ki, qi: (i, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dqk), lambda i, ki, qi: (i, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dv), lambda i, ki, qi: (i, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, dv), lambda i, ki, qi: (i, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda i, ki, qi: (i, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda i, ki, qi: (i, qi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, dqk), lambda i, ki, qi: (i, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dv), lambda i, ki, qi: (i, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, nk_p, dqk), q.dtype),
+            jax.ShapeDtypeStruct((b * h, nk_p, dv), q.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, dqk), jnp.float32),
+            pltpu.VMEM((bk, dv), jnp.float32),
+        ],
+        interpret=interpret,
+    )(sd, qf, kf, vf, gf, lse, dly)
+
+    # ---- pass 2: dq (grid: q tiles outer, k tiles inner)
+    def kernel_dq(seed_ref, q_ref, k_ref, v_ref, g_ref, lse_ref, d_ref,
+                  dq_ref, dq_scr):
+        i, qi, ki = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+        @pl.when(ki == 0)
+        def _init():
+            dq_scr[...] = jnp.zeros_like(dq_scr)
+
+        p, keep = recompute(seed_ref, q_ref, k_ref, lse_ref, i, qi, ki)
+        gb = g_ref[0].astype(jnp.float32)
+        vb = v_ref[0].astype(jnp.float32)
+        dp = jax.lax.dot_general(gb, vb, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jnp.where(keep, dp * inv_keep, 0.0)
+        ds = p * (dp - d_ref[0][:, None])
+        dq_scr[...] += jax.lax.dot_general(
+            ds, k_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+        @pl.when(ki == nkt - 1)
+        def _final():
+            dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+    dq = pl.pallas_call(
+        kernel_dq,
+        grid=(b * h, nqt, nkt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, dqk), lambda i, qi, ki: (i, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dqk), lambda i, qi, ki: (i, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dv), lambda i, qi, ki: (i, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, dv), lambda i, qi, ki: (i, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda i, qi, ki: (i, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda i, qi, ki: (i, qi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dqk), lambda i, qi, ki: (i, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq_p, dqk), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, dqk), jnp.float32)],
+        interpret=interpret,
+    )(sd, qf, kf, vf, gf, lse, dly)
+
+    dq = dq[:, :nq].reshape(b, h, nq, dqk)
+    dk = dk[:, :nk].reshape(b, h, nk, dqk)
+    dvv = dvv[:, :nk].reshape(b, h, nk, dv)
+    return dq, dk, dvv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def dropout_flash_attention(q, k, v, seed, scale, rate, interpret=False):
+    """Fused train-mode attention with probs dropout, never materialising
+    (Nq, Nk) in HBM.  seed: uint32 scalar array; identical seed regenerates
+    identical masks (the VJP relies on this).  TPU only — callers fall back
+    to the einsum path on CPU (nn raw_attention does this)."""
+    out, _lse = _dropout_flash_fwd(q, k, v, seed, scale, rate,
+                                   interpret=interpret)
+    return out
+
+
+def _dfa_fwd(q, k, v, seed, scale, rate, interpret):
+    out, lse = _dropout_flash_fwd(q, k, v, seed, scale, rate,
+                                  interpret=interpret)
+    return out, (q, k, v, seed, out, lse)
+
+
+def _dfa_bwd(scale, rate, interpret, res, g):
+    q, k, v, seed, out, lse = res
+    b, h, nq, _ = q.shape
+    nq_p = lse.shape[1]
+    d = jnp.einsum("bhqd,bhqd->bhq", g.astype(jnp.float32),
+                   out.astype(jnp.float32)).reshape(b * h, nq)
+    if nq_p != nq:
+        d = jnp.pad(d, ((0, 0), (0, nq_p - nq)))
+    dq, dk, dv = _dropout_flash_bwd(q, k, v, seed, lse, d, g, scale, rate,
+                                    interpret=interpret)
+    return dq, dk, dv, jnp.zeros_like(seed)
+
+
+dropout_flash_attention.defvjp(_dfa_fwd, _dfa_bwd)
