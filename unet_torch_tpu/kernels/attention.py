@@ -429,7 +429,11 @@ def _dropout_flash_fwd(q, k, v, seed, scale, rate, block_q=256, block_k=512,
         @pl.when(ki == nkt - 1)
         def _final():
             o_ref[0] = (acc_scr[...] / l_scr[...]).astype(o_ref.dtype)
-            lse_ref[0] = (m_scr[:, 0] + jnp.log(l_scr[:, 0]))
+            # lse replicated over a trailing 8-lane dim: Mosaic requires the
+            # last two block dims to be (8k, 128k) or equal to the array
+            # dims — (1, bq) is illegal, (bq, 8) with minor dim == 8 is fine
+            lse_ref[0] = jnp.broadcast_to(
+                (m_scr[:, :1] + jnp.log(l_scr[:, :1])), (bq, 8))
 
     out, lse = pl.pallas_call(
         kernel,
@@ -446,12 +450,12 @@ def _dropout_flash_fwd(q, k, v, seed, scale, rate, block_q=256, block_k=512,
         out_specs=[
             pl.BlockSpec((1, bq, dv), lambda i, j, ki: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda i, j, ki: (i, j),
+            pl.BlockSpec((1, bq, 8), lambda i, j, ki: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, nq_p, dv), q.dtype),
-            jax.ShapeDtypeStruct((b * h, nq_p), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, nq_p, 8), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -499,7 +503,7 @@ def _dropout_flash_bwd(q, k, v, seed, lse, dly, g, scale, rate, block_q=256,
                                 preferred_element_type=jnp.float32) * scale
         col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < nk, s, -1e30)
-        p = jnp.exp(s - lse_ref[0][:, None])
+        p = jnp.exp(s - lse_ref[0][:, :1])
         keep = _dropout_keep(seed_ref[0], i, qi * bq, ki * bk, s.shape,
                              nk_p, thr)
         return p, keep
@@ -525,7 +529,7 @@ def _dropout_flash_bwd(q, k, v, seed, lse, dly, g, scale, rate, block_q=256,
         dp = jax.lax.dot_general(gb, vb, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         dp = jnp.where(keep, dp * inv_keep, 0.0)
-        ds = p * (dp - d_ref[0][:, None])
+        ds = p * (dp - d_ref[0][:, :1])
         # dk[k, d] = sum_q ds[q, k] q[q, d] * scale
         dk_scr[...] += jax.lax.dot_general(
             ds, q_ref[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
@@ -549,9 +553,9 @@ def _dropout_flash_bwd(q, k, v, seed, lse, dly, g, scale, rate, block_q=256,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, dv), lambda i, ki, qi: (i, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda i, ki, qi: (i, qi),
+            pl.BlockSpec((1, bq, 8), lambda i, ki, qi: (i, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda i, ki, qi: (i, qi),
+            pl.BlockSpec((1, bq, 8), lambda i, ki, qi: (i, qi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -586,7 +590,7 @@ def _dropout_flash_bwd(q, k, v, seed, lse, dly, g, scale, rate, block_q=256,
         dp = jax.lax.dot_general(gb, vb, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         dp = jnp.where(keep, dp * inv_keep, 0.0)
-        ds = p * (dp - d_ref[0][:, None])
+        ds = p * (dp - d_ref[0][:, :1])
         dq_scr[...] += jax.lax.dot_general(
             ds, k_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -608,9 +612,9 @@ def _dropout_flash_bwd(q, k, v, seed, lse, dly, g, scale, rate, block_q=256,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, dv), lambda i, qi, ki: (i, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda i, qi, ki: (i, qi),
+            pl.BlockSpec((1, bq, 8), lambda i, qi, ki: (i, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda i, qi, ki: (i, qi),
+            pl.BlockSpec((1, bq, 8), lambda i, qi, ki: (i, qi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bq, dqk), lambda i, qi, ki: (i, qi, 0),
@@ -651,6 +655,7 @@ def _dfa_bwd(scale, rate, interpret, res, g):
                    out.astype(jnp.float32)).reshape(b * h, nq)
     if nq_p != nq:
         d = jnp.pad(d, ((0, 0), (0, nq_p - nq)))
+    d = jnp.broadcast_to(d[..., None], d.shape + (8,))  # match lse layout
     dq, dk, dv = _dropout_flash_bwd(q, k, v, seed, lse, d, g, scale, rate,
                                     interpret=interpret)
     return dq, dk, dv, jnp.zeros_like(seed)
