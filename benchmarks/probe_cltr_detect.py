@@ -37,7 +37,7 @@ def run_ours_trajectory(train, val, checkpoints, lr, seed, small):
     from unet_torch_tpu.train.state import TrainState
 
     model, criterion, _ = build_cltr(dict(small))
-    tx = make_optimizer("Adam", lr, 0.0)
+    tx = make_optimizer("Adam", lr, 0.0, clip_max_norm=0.1)
     xs, targets = train
     n = len(xs)
     max_pts = max(len(t["labels"]) for t in targets + val[1]) + 1
@@ -90,7 +90,7 @@ def run_ours_trajectory(train, val, checkpoints, lr, seed, small):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs-list", default="50,100,200,400,800")
-    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 

@@ -214,6 +214,8 @@ def run_training(cfg: Config):
                                         "last_cltr_criterion", None)
             trainer.pretrained_resnet50 = getattr(
                 build_datasets_and_model, "last_cltr_pretrained", None)
+            trainer.cltr_clip_max_norm = float(
+                cfg.raw.get("cltr_config", {}).get("clip_max_norm", 0.0))
         npz_path = getattr(build_datasets_and_model, "pretrained_npz", None)
         if npz_path and cfg.model.model_type in ("TransUnet", "regression_t",
                                                  "multi_task_regTU"):

@@ -60,8 +60,11 @@ def cltr_train_loop(trainer):
                 aux_loss=trainer.model.aux_loss))
         trainer.criterion = criterion
 
+    # cltr_config.clip_max_norm (CLTRconfig.yml:33 ships 0.1 but the
+    # reference Trainer never applies it — opt-in here, default off)
+    clip = float(getattr(trainer, "cltr_clip_max_norm", 0.0) or 0.0)
     tx = make_optimizer(trainer.optimizer_name, trainer.base_lr,
-                        trainer.weight_decay)
+                        trainer.weight_decay, clip_max_norm=clip)
     trainer._lr = trainer.base_lr
     cost_step, update_step, infer_step = make_cltr_steps(
         trainer.model, criterion, tx)

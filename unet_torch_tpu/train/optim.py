@@ -19,24 +19,38 @@ import optax
 
 
 def make_optimizer(name: str, lr: float, weight_decay: float = 0.0,
-                   momentum: float = 0.9) -> optax.GradientTransformation:
+                   momentum: float = 0.9,
+                   clip_max_norm: float = 0.0) -> optax.GradientTransformation:
     """Build the torch-semantics optimizer, with LR injected via inject_hyperparams
-    so schedules can update it without re-tracing."""
+    so schedules can update it without re-tracing.
+
+    ``clip_max_norm > 0`` prepends global-norm gradient clipping (the
+    reference ships `clip_max_norm: 0.1` in CLTR/CLTRconfig.yml:33 but its
+    Trainer never applies it — dormant config key; here it is honoured as an
+    opt-in, off by default to match the reference's actual behavior)."""
+    # clipping lives INSIDE the injected transform: the train steps reach
+    # into opt_state.hyperparams to swap the traced LR (steps.py::_set_lr),
+    # so the outermost state must stay the inject_hyperparams wrapper.
     if name == "Adam":
         tx = optax.inject_hyperparams(
-            _adam_l2, static_args=("weight_decay",))(
-            learning_rate=lr, weight_decay=weight_decay)
+            _adam_l2, static_args=("weight_decay", "clip_max_norm"))(
+            learning_rate=lr, weight_decay=weight_decay,
+            clip_max_norm=clip_max_norm)
     elif name == "SGD":
         tx = optax.inject_hyperparams(
-            _sgd_momentum, static_args=("weight_decay", "momentum"))(
-            learning_rate=lr, weight_decay=weight_decay, momentum=momentum)
+            _sgd_momentum, static_args=("weight_decay", "momentum",
+                                        "clip_max_norm"))(
+            learning_rate=lr, weight_decay=weight_decay, momentum=momentum,
+            clip_max_norm=clip_max_norm)
     else:
         raise ValueError(f'Invalid optimizer "{name}"')
     return tx
 
 
-def _adam_l2(learning_rate, weight_decay):
+def _adam_l2(learning_rate, weight_decay, clip_max_norm=0.0):
     return optax.chain(
+        optax.clip_by_global_norm(clip_max_norm) if clip_max_norm
+        else optax.identity(),
         optax.add_decayed_weights(weight_decay) if weight_decay else
         optax.identity(),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
@@ -44,8 +58,11 @@ def _adam_l2(learning_rate, weight_decay):
     )
 
 
-def _sgd_momentum(learning_rate, weight_decay, momentum):
+def _sgd_momentum(learning_rate, weight_decay, momentum,
+                  clip_max_norm=0.0):
     return optax.chain(
+        optax.clip_by_global_norm(clip_max_norm) if clip_max_norm
+        else optax.identity(),
         optax.add_decayed_weights(weight_decay) if weight_decay else
         optax.identity(),
         optax.trace(decay=momentum, nesterov=False),
