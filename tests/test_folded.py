@@ -217,3 +217,55 @@ def test_tpu_dropout_semantics(rng):
     a = m.apply({}, x, deterministic=False, rngs={"dropout": jax.random.key(7)})
     b = m.apply({}, x, deterministic=False, rngs={"dropout": jax.random.key(7)})
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_transunet_folded_tail_equivalence():
+    """VisionTransformer's W-folded decoder tail (fold=128/C_last) computes
+    the same function as the unfolded path on the SAME param tree — fwd,
+    grads and BN batch stats (r4, models/transunet/vit.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unet_torch_tpu.models.transunet import vit as V
+    from unet_torch_tpu.models.transunet import build_transunet
+
+    model = build_transunet("TransUnet", img_size=32, n_channels=3,
+                            num_classes=3, variant="testing")
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+    assert V._tail_fold_factor(model.config, 32) == 8  # engaged
+
+    out_folded = model.apply(variables, x, train=False)
+
+    orig = V._tail_fold_factor
+    V._tail_fold_factor = lambda cfg, sz: 1
+    try:
+        out_ref = model.apply(variables, x, train=False)
+        # train-mode grads + batch stats
+        def loss(params, fold_on):
+            V._tail_fold_factor = orig if fold_on else (lambda c, s: 1)
+            out, mut = model.apply(
+                {"params": params,
+                 "batch_stats": variables.get("batch_stats", {})},
+                x, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.key(1)})
+            return (out.astype(jnp.float32) ** 2).mean(), mut["batch_stats"]
+
+        (l1, bs1), g1 = jax.value_and_grad(loss, has_aux=True)(
+            variables["params"], True)
+        (l0, bs0), g0 = jax.value_and_grad(loss, has_aux=True)(
+            variables["params"], False)
+    finally:
+        V._tail_fold_factor = orig
+
+    np.testing.assert_allclose(np.asarray(out_folded), np.asarray(out_ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    for a, b in zip(flat1, flat0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(bs1),
+                    jax.tree_util.tree_leaves(bs0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -630,19 +630,36 @@ def _dropout_flash_bwd(q, k, v, seed, lse, dly, g, scale, rate, block_q=256,
     return dq, dk, dvv
 
 
+def _dfa_blocks(nq, nk):
+    """Tile-size heuristic: Pallas grid-cell dispatch overhead (~1 us/cell)
+    dominated the r4 CLTR kernels at (256, 512) tiles — 2048 fwd cells for
+    (64, 2000, 2000).  Bigger tiles cut the cell count; the score tile
+    (bq x bk x f32 x ~3 live copies) must stay well under VMEM.  The mask
+    hash is a pure function of GLOBAL indices and nk_p, and forward/backward
+    both derive their blocks from this same function, so the dropout
+    pattern is identical across all three passes."""
+    bq = 512 if nq >= 512 else None
+    bk = 1024 if nk >= 1024 else None
+    return bq or 256, bk or 512
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def dropout_flash_attention(q, k, v, seed, scale, rate, interpret=False):
     """Fused train-mode attention with probs dropout, never materialising
     (Nq, Nk) in HBM.  seed: uint32 scalar array; identical seed regenerates
     identical masks (the VJP relies on this).  TPU only — callers fall back
     to the einsum path on CPU (nn raw_attention does this)."""
+    bq, bk = _dfa_blocks(q.shape[2], k.shape[2])
     out, _lse = _dropout_flash_fwd(q, k, v, seed, scale, rate,
+                                   block_q=bq, block_k=bk,
                                    interpret=interpret)
     return out
 
 
 def _dfa_fwd(q, k, v, seed, scale, rate, interpret):
+    bq, bk = _dfa_blocks(q.shape[2], k.shape[2])
     out, lse = _dropout_flash_fwd(q, k, v, seed, scale, rate,
+                                  block_q=bq, block_k=bk,
                                   interpret=interpret)
     return out, (q, k, v, seed, out, lse)
 
@@ -656,7 +673,9 @@ def _dfa_bwd(scale, rate, interpret, res, g):
     if nq_p != nq:
         d = jnp.pad(d, ((0, 0), (0, nq_p - nq)))
     d = jnp.broadcast_to(d[..., None], d.shape + (8,))  # match lse layout
+    bq, bk = _dfa_blocks(nq, k.shape[2])
     dq, dk, dv = _dropout_flash_bwd(q, k, v, seed, lse, d, g, scale, rate,
+                                    block_q=bq, block_k=bk,
                                     interpret=interpret)
     return dq, dk, dv, jnp.zeros_like(seed)
 

@@ -229,6 +229,77 @@ class Conv2dReLU(nn.Module):
         return nn.relu(x)
 
 
+class _FoldedConv3x3NoBias(nn.Module):
+    """nn.Conv(features,(3,3),padding=1,use_bias=False) computing on a
+    W-folded tensor — identical param tree/init ('kernel', lecun-normal)."""
+
+    features: int
+    in_features: int
+    fold: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xf):
+        from jax import lax
+
+        from unet_torch_tpu.nn.folded import fold_kernel_general
+
+        k = self.param("kernel", nn.linear.default_kernel_init,
+                       (3, 3, self.in_features, self.features))
+        kf = fold_kernel_general(k.astype(self.dtype), self.fold)
+        return lax.conv_general_dilated(
+            xf.astype(self.dtype), kf, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class FoldedConv2dReLU(nn.Module):
+    """Conv2dReLU on a W-folded tensor (param tree identical: conv/bn)."""
+
+    features: int
+    in_features: int
+    fold: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xf, *, train: bool):
+        from unet_torch_tpu.nn.folded import FoldedBatchNormF
+
+        xf = _FoldedConv3x3NoBias(self.features, self.in_features,
+                                  self.fold, dtype=self.dtype,
+                                  name="conv")(xf)
+        xf = FoldedBatchNormF(use_running_average=not train, momentum=0.9,
+                              epsilon=1e-5, dtype=self.dtype,
+                              fold=self.fold, name="bn")(xf)
+        return nn.relu(xf)
+
+
+class FoldedDecoderTail(nn.Module):
+    """The final skip-less DecoderBlock computed in W-folded layout (r4):
+    C=16 at full resolution pays an 8x lane-padding tax unfolded — ~10+ ms
+    of the 151 ms TransUnet b8 step (profile, BASELINE.md).  Upsample runs
+    unfolded (MXU matmuls), then the two convs + BN/ReLU stay folded; the
+    caller keeps the tensor folded through SegmentationHead.  Param tree ==
+    DecoderBlock (conv1/conv2)."""
+
+    features: int
+    in_features: int
+    fold: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        from unet_torch_tpu.nn.folded import fold_f
+
+        x = bilinear_upsample_2x(x)
+        xf = fold_f(x, self.fold)
+        xf = FoldedConv2dReLU(self.features, self.in_features, self.fold,
+                              dtype=self.dtype, name="conv1")(xf,
+                                                              train=train)
+        return FoldedConv2dReLU(self.features, self.features, self.fold,
+                                dtype=self.dtype, name="conv2")(xf,
+                                                                train=train)
+
+
 class DecoderBlock(nn.Module):
     """ref :284-315 — bilinear 2x up, concat skip, two Conv2dReLU."""
 
@@ -252,6 +323,10 @@ class DecoderCup(nn.Module):
 
     config: Any
     dtype: jnp.dtype = jnp.float32
+    # W-fold factor for the final skip-less block (1 = unfolded); when > 1
+    # the returned tensor is (B, H, W/fold, fold*C) and the caller's head
+    # must consume it folded (SegmentationHead(fold=...))
+    fold_tail: int = 1
 
     @nn.compact
     def __call__(self, hidden_states, features, *, train: bool):
@@ -261,26 +336,84 @@ class DecoderCup(nn.Module):
         x = Conv2dReLU(512, dtype=self.dtype, name="conv_more")(
             x, train=train)
         n_skip = self.config.get("n_skip", 0)
-        for i, feats in enumerate(self.config.decoder_channels):
+        channels = list(self.config.decoder_channels)
+        for i, feats in enumerate(channels):
             skip = None
             if features is not None and i < n_skip:
                 skip = features[i]
+            if (self.fold_tail > 1 and i == len(channels) - 1
+                    and skip is None):
+                return FoldedDecoderTail(feats, x.shape[-1], self.fold_tail,
+                                         dtype=self.dtype,
+                                         name=f"block_{i}")(x, train=train)
             x = DecoderBlock(feats, dtype=self.dtype, name=f"block_{i}")(
                 x, skip, train=train)
         return x
 
 
+class _FoldedHeadConv(nn.Module):
+    """nn.Conv(n_classes,(3,3),padding=1) on a W-folded input — identical
+    param tree/init ('kernel' lecun-normal, 'bias' zeros)."""
+
+    n_classes: int
+    in_features: int
+    fold: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xf):
+        from jax import lax
+
+        from unet_torch_tpu.nn.folded import fold_kernel_general
+
+        k = self.param("kernel", nn.linear.default_kernel_init,
+                       (3, 3, self.in_features, self.n_classes))
+        bias = self.param("bias", nn.initializers.zeros, (self.n_classes,))
+        kf = fold_kernel_general(k.astype(self.dtype), self.fold)
+        y = lax.conv_general_dilated(
+            xf.astype(self.dtype), kf, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + jnp.tile(bias.astype(y.dtype), self.fold)
+
+
+def _tail_fold_factor(config, img_size: int) -> int:
+    """W-fold factor for the decoder tail: pack the last decoder stage's
+    C (< 128) up to the 128-lane tile when the geometry divides and the
+    last block is skip-less (n_skip <= 3 of 4 blocks).  1 = unfolded."""
+    channels = list(config.decoder_channels)
+    c_last = channels[-1]
+    if c_last >= 128 or 128 % c_last != 0:
+        return 1
+    f = 128 // c_last
+    if img_size % f != 0:
+        return 1
+    if config.get("n_skip", 0) >= len(channels):
+        return 1
+    return f
+
+
 class SegmentationHead(nn.Module):
-    """ref :318-323 — 3x3 conv + optional bilinear upsampling."""
+    """ref :318-323 — 3x3 conv + optional bilinear upsampling.  ``fold > 1``
+    consumes a W-folded input (from DecoderCup(fold_tail=...)) and unfolds
+    after the conv."""
 
     n_classes: int
     upsampling: int = 1
     dtype: jnp.dtype = jnp.float32
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.n_classes, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv")(x)
+        if self.fold > 1:
+            from unet_torch_tpu.nn.folded import unfold_f
+
+            x = _FoldedHeadConv(self.n_classes, x.shape[-1] // self.fold,
+                                self.fold, dtype=self.dtype,
+                                name="conv")(x)
+            x = unfold_f(x, self.fold)
+        else:
+            x = nn.Conv(self.n_classes, (3, 3), padding=1, dtype=self.dtype,
+                        name="conv")(x)
         if self.upsampling > 1:
             b, h, w, c = x.shape
             x = _resize_align_corners(x, h * self.upsampling,
@@ -318,9 +451,11 @@ class VisionTransformer(nn.Module):
         encoded, features = Transformer(self.config, self.img_size,
                                         dtype=self.dtype,
                                         name="transformer")(x, train=train)
-        x = DecoderCup(self.config, dtype=self.dtype, name="decoder")(
-            encoded, features, train=train)
+        fold = _tail_fold_factor(self.config, self.img_size)
+        x = DecoderCup(self.config, dtype=self.dtype, fold_tail=fold,
+                       name="decoder")(encoded, features, train=train)
         return SegmentationHead(self.num_classes, dtype=self.dtype,
+                                fold=fold,
                                 name="segmentation_head")(x)
 
 
@@ -339,13 +474,14 @@ class VisionTransformerMultitask(nn.Module):
         encoded, features = Transformer(self.config, self.img_size,
                                         dtype=self.dtype,
                                         name="transformer")(x, train=train)
+        fold = _tail_fold_factor(self.config, self.img_size)
         outs = []
         for i in (1, 2):
-            xi = DecoderCup(self.config, dtype=self.dtype,
+            xi = DecoderCup(self.config, dtype=self.dtype, fold_tail=fold,
                             name=f"decoder{i}")(encoded, features,
                                                 train=train)
             outs.append(SegmentationHead(
-                self.num_classes, dtype=self.dtype,
+                self.num_classes, dtype=self.dtype, fold=fold,
                 name=f"segmentation_head{i}")(xi))
         return tuple(outs)
 
@@ -365,13 +501,14 @@ class VisionTransformerMultitaskEM(nn.Module):
         encoded, features = Transformer(self.config, self.img_size,
                                         dtype=self.dtype,
                                         name="transformer")(x, train=train)
+        fold = _tail_fold_factor(self.config, self.img_size)
         outs = []
         for i in range(1, 7):
-            xi = DecoderCup(self.config, dtype=self.dtype,
+            xi = DecoderCup(self.config, dtype=self.dtype, fold_tail=fold,
                             name=f"decoder{i}")(encoded, features,
                                                 train=train)
             outs.append(SegmentationHead(
-                self.num_classes, dtype=self.dtype,
+                self.num_classes, dtype=self.dtype, fold=fold,
                 name=f"segmentation_head{i}")(xi))
         return tuple(outs)
 

@@ -303,3 +303,85 @@ class _FoldedOutConvWrap(nn.Module):
     def __call__(self, xf):
         return FoldedOutConv(self.features, self.in_features,
                              dtype=self.dtype, name="Conv_0")(xf)
+
+
+# ---------------------------------------------------------------------------
+# General-factor W-folding (r4): the TransUnet decoder tail runs C=16 at
+# 512² — an 8x lane-padding tax that the r4 profile put at ~10+ ms of the
+# 151 ms b8 step.  fold=8 packs 8 W-pixels into the 128-lane dim.
+# ---------------------------------------------------------------------------
+
+def fold_f(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """(B,H,W,C) -> (B,H,W//f,f*C): f consecutive W-pixels into lanes."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // f, f * c)
+
+
+def unfold_f(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    b, h, wf, cf = x.shape
+    return x.reshape(b, h, wf * f, cf // f)
+
+
+def fold_kernel_general(k: jnp.ndarray, f: int) -> jnp.ndarray:
+    """(3,3,Ci,Co) conv kernel -> (3,3,f*Ci,f*Co) for a W-fold of factor f.
+
+    Folded tap dwf ∈ {-1,0,1}, block (k_in, k_out) carries original W-tap
+    dw = k_in - k_out + f*dwf when dw ∈ {-1,0,1}, else zero (for f >= 2 a
+    3-wide kernel never reaches beyond the adjacent folded column).
+    Reduces to fold_kernel at f=2.  FLOP inflation is f (dense blocks vs
+    the 3f non-zero ones) — the trade the UNet fold measured as a wash in
+    time and a big win in bytes at C below the 128-lane tile."""
+    kh, kw, ci, co = k.shape
+    assert kw == 3
+    sel = {-1: k[:, 0], 0: k[:, 1], 1: k[:, 2]}
+    z = jnp.zeros_like(k[:, 0])
+
+    def tap(dwf):
+        rows = []
+        for k_in in range(f):
+            cols = [sel.get(k_in - k_out + f * dwf, z)
+                    for k_out in range(f)]
+            rows.append(jnp.concatenate(cols, axis=-1))
+        return jnp.concatenate(rows, axis=-2)
+
+    return jnp.stack([tap(-1), tap(0), tap(1)], axis=1)
+
+
+class FoldedBatchNormF(TPUBatchNorm):
+    """FoldedBatchNorm for a general fold factor: stats reduce over all f
+    W-slots of each channel at full f*C lane width; affine tiled across
+    slots.  Param/stat trees identical to TPUBatchNorm (C-sized)."""
+
+    fold: int = 2
+
+    @nn.compact
+    def __call__(self, xf):
+        cf = xf.shape[-1]
+        f = self.fold
+        features = cf // f
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(features, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xff = xf.astype(jnp.float32)
+            axes = tuple(range(xf.ndim - 1))
+            m2 = jnp.mean(xff, axis=axes).reshape(f, features)
+            s2 = jnp.mean(xff * xff, axis=axes).reshape(f, features)
+            mean = m2.mean(0)
+            var = jnp.maximum(s2.mean(0) - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value +
+                                 (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value +
+                                (1.0 - self.momentum) * var)
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        mul = jnp.tile(inv.astype(xf.dtype), f)
+        add = jnp.tile((bias - mean * inv).astype(xf.dtype), f)
+        return xf * mul + add
