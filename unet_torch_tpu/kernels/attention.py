@@ -355,6 +355,28 @@ def _mix32(x):
     return x
 
 
+def _tile_seed_scalar(seed, bh, qi, ki, nqt, nkt):
+    tid = ((bh * nqt + qi) * nkt + ki).astype(jnp.uint32)
+    return _mix32(seed.astype(jnp.uint32) ^ (tid * jnp.uint32(2654435761)))
+
+
+def _keep_mask(seed_ref, i, qi, ki, bq, bk, shape, nqt, nkt, nk_p, thr,
+               hw_prng):
+    """Tile keep-mask.  hw_prng=True uses the TPU's hardware PRNG seeded
+    per (bh, q-tile, k-tile) — identical bits whenever the same tile is
+    revisited in the backward passes (same seed + same shape), at a
+    fraction of the VPU cost of the portable counter hash.  hw_prng=False
+    (interpret mode / tests) uses the index-pure murmur hash, whose mask
+    the test oracle can reproduce in plain jnp."""
+    if hw_prng:
+        from jax.experimental.pallas import tpu as pltpu
+
+        pltpu.prng_seed(_tile_seed_scalar(seed_ref[0], i, qi, ki, nqt, nkt))
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        return bits >= jnp.uint32(thr)
+    return _dropout_keep(seed_ref[0], i, qi * bq, ki * bk, shape, nk_p, thr)
+
+
 def _dropout_keep(seed, bh, q0, k0, shape, nk_total, thr):
     """Counter-based keep mask for the (q0.., k0..) tile: a pure function of
     (seed, batch*head, global row, global col), so the forward and both
@@ -370,9 +392,10 @@ def _dropout_keep(seed, bh, q0, k0, shape, nk_total, thr):
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "rate", "block_q",
-                                             "block_k", "interpret"))
+                                             "block_k", "interpret",
+                                             "hw_prng"))
 def _dropout_flash_fwd(q, k, v, seed, scale, rate, block_q=256, block_k=512,
-                       interpret=False):
+                       interpret=False, hw_prng=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -417,8 +440,8 @@ def _dropout_flash_fwd(q, k, v, seed, scale, rate, block_q=256, block_k=512,
         corr = jnp.exp(m_prev - m_new)
         l_scr[...] = l_scr[...] * corr + jnp.sum(e, axis=-1, keepdims=True)
 
-        keep = _dropout_keep(seed_ref[0], i, qi * bq, ki * bk, s.shape,
-                             nk_p, thr)
+        keep = _keep_mask(seed_ref, i, qi, ki, bq, bk, s.shape, nqt, nkt,
+                          nk_p, thr, hw_prng)
         e_drop = jnp.where(keep, e * inv_keep, 0.0)
         pv = jax.lax.dot_general(e_drop.astype(v_ref.dtype), v_ref[0],
                                  (((1,), (0,)), ((), ())),
@@ -468,9 +491,10 @@ def _dropout_flash_fwd(q, k, v, seed, scale, rate, block_q=256, block_k=512,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "rate", "block_q",
-                                             "block_k", "interpret"))
+                                             "block_k", "interpret",
+                                             "hw_prng"))
 def _dropout_flash_bwd(q, k, v, seed, lse, dly, g, scale, rate, block_q=256,
-                       block_k=512, interpret=False):
+                       block_k=512, interpret=False, hw_prng=False):
     """dly: rowwise sum(g * o) (the softmax-backward D term), (BH, nq_p)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -504,8 +528,8 @@ def _dropout_flash_bwd(q, k, v, seed, lse, dly, g, scale, rate, block_q=256,
         col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < nk, s, -1e30)
         p = jnp.exp(s - lse_ref[0][:, :1])
-        keep = _dropout_keep(seed_ref[0], i, qi * bq, ki * bk, s.shape,
-                             nk_p, thr)
+        keep = _keep_mask(seed_ref, i, qi, ki, bq, bk, s.shape, nqt, nkt,
+                          nk_p, thr, hw_prng)
         return p, keep
 
     # ---- pass 1: dk, dv (grid: k tiles outer, q tiles inner)
@@ -650,17 +674,19 @@ def dropout_flash_attention(q, k, v, seed, scale, rate, interpret=False):
     identical masks (the VJP relies on this).  TPU only — callers fall back
     to the einsum path on CPU (nn raw_attention does this)."""
     bq, bk = _dfa_blocks(q.shape[2], k.shape[2])
+    hw = (not interpret) and _use_pallas_default()
     out, _lse = _dropout_flash_fwd(q, k, v, seed, scale, rate,
                                    block_q=bq, block_k=bk,
-                                   interpret=interpret)
+                                   interpret=interpret, hw_prng=hw)
     return out
 
 
 def _dfa_fwd(q, k, v, seed, scale, rate, interpret):
     bq, bk = _dfa_blocks(q.shape[2], k.shape[2])
+    hw = (not interpret) and _use_pallas_default()
     out, lse = _dropout_flash_fwd(q, k, v, seed, scale, rate,
                                   block_q=bq, block_k=bk,
-                                  interpret=interpret)
+                                  interpret=interpret, hw_prng=hw)
     return out, (q, k, v, seed, out, lse)
 
 
@@ -674,9 +700,10 @@ def _dfa_bwd(scale, rate, interpret, res, g):
         d = jnp.pad(d, ((0, 0), (0, nq_p - nq)))
     d = jnp.broadcast_to(d[..., None], d.shape + (8,))  # match lse layout
     bq, bk = _dfa_blocks(nq, k.shape[2])
+    hw = (not interpret) and _use_pallas_default()
     dq, dk, dv = _dropout_flash_bwd(q, k, v, seed, lse, d, g, scale, rate,
                                     block_q=bq, block_k=bk,
-                                    interpret=interpret)
+                                    interpret=interpret, hw_prng=hw)
     return dq, dk, dv, jnp.zeros_like(seed)
 
 
