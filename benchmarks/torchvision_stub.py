@@ -98,8 +98,9 @@ def _build_modules():
 
     def resnet50(pretrained=False, replace_stride_with_dilation=None,
                  norm_layer=None, **kw):
+        import torchvision_stub as _self  # resolved at call time
         return ResNet(
-            (3, 4, 6, 3),
+            getattr(_self, "LAYERS", (3, 4, 6, 3)),
             replace_stride_with_dilation=replace_stride_with_dilation,
             norm_layer=norm_layer or nn.BatchNorm2d)
 
@@ -129,6 +130,12 @@ def _build_modules():
         return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
 
     return resnet50, IntermediateLayerGetter, box_area
+
+
+# Experiment knob: parity/detection runs can shrink the backbone on BOTH
+# frameworks identically (set torchvision_stub.LAYERS = (1,1,1,1) before
+# buildCLTR; our side mirrors via cltr_config backbone_layers).
+LAYERS = (3, 4, 6, 3)
 
 
 def install():

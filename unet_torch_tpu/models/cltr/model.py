@@ -44,6 +44,9 @@ class ConditionalDETR(nn.Module):
     aux_loss: bool = True
     position_embedding: str = "sine"
     dtype: jnp.dtype = jnp.float32
+    # torchvision resnet50 unit counts (ref backbone.py:73); parity probes
+    # shrink this identically on both frameworks
+    backbone_layers: tuple = (3, 4, 6, 3)
 
     @nn.compact
     def __call__(self, images, mask=None, *, train: bool = False):
@@ -52,7 +55,9 @@ class ConditionalDETR(nn.Module):
         Returns {'pred_logits': (B,Q,num_classes), 'pred_points':
         (B,Q,channel_point), 'aux_outputs': [...]} (ref :63-99).
         """
-        feat = ResNet50(dtype=self.dtype, name="backbone")(images)
+        feat = ResNet50(dtype=self.dtype,
+                        layers=tuple(self.backbone_layers),
+                        name="backbone")(images)
         b, fh, fw, _ = feat.shape
         if mask is None:
             fmask = jnp.zeros((b, fh, fw), bool)
@@ -132,6 +137,7 @@ def build_cltr(args: dict):
         position_embedding=args.get("position_embedding", "sine"),
         dtype=jnp.bfloat16 if str(args.get("precision", "f32")).lower()
         in ("bf16", "bfloat16") else jnp.float32,
+        backbone_layers=tuple(args.get("backbone_layers", (3, 4, 6, 3))),
     )
     weight_dict = build_weight_dict(
         cls_loss_coef=args.get("cls_loss_coef", 2),
