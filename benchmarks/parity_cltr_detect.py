@@ -60,10 +60,16 @@ def make_easy_point_data(seed):
         img = (img - img.mean((0, 1))) / (img.std((0, 1)) + 1e-6)
         knn = np.full(k, SIZE / 2.0) if k == 1 else np.full(
             k, float(np.linalg.norm(pts[0] - pts[1])))
-        pm = np.concatenate([pts, knn[:, None]], 1).astype(np.float32) / SIZE
+        # The dataset contract (ref DataLoader.py:818-823): points are
+        # (y, x, knn-dist) / crop_size — NORMALIZED, and 'points' ==
+        # 'points_macher' numerically (points has exactly 3 cols).  The
+        # matcher (matcher.py:62) and loss_points (conditional_detr.py:183)
+        # both consume the normalized 'points' against sigmoid predictions.
+        pm = np.concatenate([pts[:, ::-1], knn[:, None]],
+                            1).astype(np.float32) / SIZE
         imgs.append(img)
         targets.append({"labels": np.ones(k, np.int64),
-                        "points_macher": pm, "points": pm * SIZE})
+                        "points_macher": pm, "points": pm.copy()})
     return ((np.stack(imgs[:N_TRAIN]), targets[:N_TRAIN]),
             (np.stack(imgs[N_TRAIN:]), targets[N_TRAIN:]))
 

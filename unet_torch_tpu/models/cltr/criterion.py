@@ -108,9 +108,12 @@ class SetCriterion:
 
     def all_cost_matrices(self, outputs, tgt_labels, tgt_match_points,
                           tgt_valid):
-        """Final + aux levels -> (L, B, Q, T); level L-1 is the final output
-        (matching uses points_macher, ref matcher.py:74 with DataLoader's
-        points_macher targets)."""
+        """Final + aux levels -> (L, B, Q, T); level L-1 is the final output.
+
+        The reference matcher consumes targets' normalized ``points``
+        (matcher.py:62) which DataLoader.py:822-823 makes numerically equal
+        to ``points_macher`` (both are (y,x,knn)/crop_size, 3 cols); we keep
+        the two keys separate to honor the dataset contract."""
         levels = list(outputs.get("aux_outputs", [])) + [
             {"pred_logits": outputs["pred_logits"],
              "pred_points": outputs["pred_points"]}]
