@@ -75,6 +75,9 @@ def make_easy_point_data(seed):
 
 
 def _count_mae(scores, targets, thresh=0.35):
+    """Reference val counting rule (Trainer.py:558-569): sigmoid probs are
+    flattened over num_queries*num_classes entries per image and every entry
+    above 0.35 counts — both class channels, not just channel 0."""
     errs = [abs(float((s > thresh).sum()) - len(t["labels"]))
             for s, t in zip(scores, targets)]
     return float(np.mean(errs))
@@ -126,7 +129,7 @@ def run_torch(train, val, checkpoints, lr, seed):
                     ld[k] * criterion.weight_dict[k]
                     for k in ld if k in criterion.weight_dict)))
                 scores.append(torch.sigmoid(
-                    out["pred_logits"][..., 0]).numpy())
+                    out["pred_logits"]).flatten(1).numpy())
         model.train()
         criterion.train()
         return float(np.mean(losses)), _count_mae(np.concatenate(scores),
@@ -195,7 +198,8 @@ def run_ours(train, val, checkpoints, lr, seed):
                                    jnp.asarray(labels), jnp.asarray(points),
                                    jnp.asarray(valid))
             losses.append(float(loss))
-            scores.append(np.asarray(jax.nn.sigmoid(logits[..., 0])))
+            probs = np.asarray(jax.nn.sigmoid(logits))
+            scores.append(probs.reshape(probs.shape[0], -1))
         return float(np.mean(losses)), _count_mae(np.concatenate(scores),
                                                   vt)
 

@@ -66,7 +66,8 @@ def probe(lr, epochs, seed=0):
             loss, logits = eval_fn(state, bx, jnp.asarray(labels),
                                    jnp.asarray(points), jnp.asarray(valid))
             losses.append(float(loss))
-            scores.append(np.asarray(jax.nn.sigmoid(logits[..., 0])))
+            probs = np.asarray(jax.nn.sigmoid(logits))
+            scores.append(probs.reshape(probs.shape[0], -1))
         return float(np.mean(losses)), det._count_mae(
             np.concatenate(scores), vt)
 
