@@ -66,7 +66,7 @@ def _attention_pallas(q, k, v, scale, bias=None, interpret=False):
             qb, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         if has_bias:
-            s = s + b_ref[0].astype(jnp.float32)[None, :]
+            s = s + b_ref[0, 0].astype(jnp.float32)[None, :]
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -85,9 +85,12 @@ def _attention_pallas(q, k, v, scale, bias=None, interpret=False):
     ]
     args = [qf, kf, vf]
     if has_bias:
-        in_specs.append(pl.BlockSpec((1, nk), lambda i: (i // h, 0),
+        # (B, 1, Nk) so the block's last two dims equal the array dims —
+        # Mosaic requires (8,128)-divisible OR full-dim blocks; a 2-D
+        # (1, nk) block is illegal whenever B > 1
+        in_specs.append(pl.BlockSpec((1, 1, nk), lambda i: (i // h, 0, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(bias)
+        args.append(bias[:, None, :])
     out = pl.pallas_call(
         kernel,
         grid=(b * h,),
@@ -156,7 +159,7 @@ def _attention_flash(q, k, v, scale, bias=None, block_q=256, block_k=512,
         s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         if has_bias:
-            s = s + b_ref[0].astype(jnp.float32)[None, :]
+            s = s + b_ref[0, 0].astype(jnp.float32)[None, :]
         # mask padded K columns (global index >= true nk)
         col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < nk, s, -1e30)
@@ -186,9 +189,11 @@ def _attention_flash(q, k, v, scale, bias=None, block_q=256, block_k=512,
     ]
     args = [qf, kf, vf]
     if has_bias:
-        in_specs.append(pl.BlockSpec((1, bk), lambda i, j, ki: (i // h, ki),
+        # 3-D (B, 1, Nk_p) bias for Mosaic block legality (see above)
+        in_specs.append(pl.BlockSpec((1, 1, bk),
+                                     lambda i, j, ki: (i // h, 0, ki),
                                      memory_space=pltpu.VMEM))
-        args.append(bias)
+        args.append(bias[:, None, :])
     out = pl.pallas_call(
         kernel,
         grid=(b * h, nq_p // bq, n_k_tiles),
