@@ -175,12 +175,17 @@ def topo_loss_from_pairing(logits, births, deaths, nbars, kgt,
     return loss / bsz
 
 
-def compute_pairing(likelihood: np.ndarray, target: np.ndarray,
+def compute_pairing(likelihood: np.ndarray, target: np.ndarray | None,
                     max_bars: int = 64, kgt_override=None):
     """Host-side pairing on concrete arrays (the split-step path for backends
-    without host callbacks, e.g. the axon TPU runtime)."""
-    return _pairing_host(np.asarray(likelihood), np.asarray(target), max_bars,
-                         kgt_override)
+    without host callbacks, e.g. the axon TPU runtime).  ``target`` may be
+    None when ``kgt_override`` supplies the component counts (the mask is
+    only read for its CC count)."""
+    if target is None and kgt_override is None:
+        raise ValueError("target may only be None with kgt_override")
+    return _pairing_host(np.asarray(likelihood),
+                         None if target is None else np.asarray(target),
+                         max_bars, kgt_override)
 
 
 def topo_loss(pred, target, max_bars: int = 64):

@@ -265,7 +265,14 @@ def make_topo_steps(model, tx, loss_type: str, num_classes: int,
 
         def step(self, state, x, y, gt_dot, lr, rng):
             lik = _lik_only(state, x, rng)  # async dispatch
-            prev, self._pending = self._pending, (x, y, gt_dot, lr, rng, lik)
+            kgt = jnp.sum(gt_dot, axis=(1, 2))  # async too
+            try:  # enqueue the D2H copy behind the compute so the ~8MB
+                # likelihood crosses the (tunneled) link while the host is
+                # still pairing the previous batch, not inside _complete
+                lik.copy_to_host_async()
+            except Exception:  # pragma: no cover - backend without async D2H
+                pass
+            prev, self._pending = self._pending, (x, lr, rng, lik, kgt)
             if prev is None:
                 return state, None
             return self._complete(state, prev)
@@ -279,10 +286,12 @@ def make_topo_steps(model, tx, loss_type: str, num_classes: int,
         def _complete(self, state, prev):
             import numpy as np
 
-            x, y, gt_dot, lr, rng, lik = prev
-            kgt = np.asarray(jnp.sum(gt_dot, axis=(1, 2))).astype(np.int64)
+            x, lr, rng, lik, kgt_dev = prev
+            kgt = np.asarray(kgt_dev).astype(np.int64)
+            # target=None: kgt_override makes the mask unused, so don't pull
+            # the 8MB target tensor across the link every step
             births, deaths, nbars, kgt = compute_pairing(
-                np.asarray(lik), np.asarray(y), max_bars, kgt_override=kgt)
+                np.asarray(lik), None, max_bars, kgt_override=kgt)
             return _topo_update(state, x, jnp.asarray(births),
                                 jnp.asarray(deaths), jnp.asarray(nbars),
                                 jnp.asarray(kgt), lr, rng)
