@@ -485,7 +485,7 @@ def tpu_transunet_infer(batch=16, steps=10):
     return (steps - 1) * batch / (time.perf_counter() - t0)
 
 
-def tpu_topo(batch=8, steps=5):
+def tpu_topo(batch=8, steps=10):
     """Two-phase topo step (jit forward -> host PH pairing -> jit update) —
     the honest number includes the host pairing cost."""
     import numpy as np

@@ -205,15 +205,26 @@ def make_topo_steps(model, tx, loss_type: str, num_classes: int,
         return out
 
     @jax.jit
-    def _lik_only(state, x, rng):
+    def _lik_kgt(state, x, gt_dot, rng):
         # pipelined path: sigmoid computed on-device (a host exp over the
-        # (B,512,512) map costs ~50 ms on this 1-vCPU host), f32 for pairing
+        # (B,512,512) map costs ~50 ms on this 1-vCPU host), f32 for pairing;
+        # the gt-dot count rides the same dispatch (each eager op through the
+        # tunneled axon link is a ~20 ms round trip)
         out, _ = forward(state.params, state.batch_stats, x, True, rng)
         out = out[..., 0] if out.ndim == 4 else out
-        return jax.nn.sigmoid(out.astype(jnp.float32))
+        lik = jax.nn.sigmoid(out.astype(jnp.float32))
+        return lik, jnp.sum(gt_dot, axis=(1, 2)).astype(jnp.int32)
 
     @functools.partial(jax.jit, donate_argnums=0)
-    def _topo_update(state, x, births, deaths, nbars, kgt, lr, rng):
+    def _topo_update(state, x, packed, lr, rng):
+        # packed (B, 2*max_bars+2) int32 = [births | deaths | nbars | kgt]:
+        # one H2D transfer instead of four (each is a ~20 ms round trip
+        # through the tunneled axon link)
+        births = packed[:, :max_bars]
+        deaths = packed[:, max_bars:2 * max_bars]
+        nbars = packed[:, 2 * max_bars]
+        kgt = packed[:, 2 * max_bars + 1]
+
         def objective(params):
             out, bs = forward(params, state.batch_stats, x, True, rng)
             return topo_loss_from_pairing(out, births, deaths, nbars, kgt,
@@ -235,66 +246,95 @@ def make_topo_steps(model, tx, loss_type: str, num_classes: int,
         return compute_pairing(lik, np.asarray(y), max_bars,
                                kgt_override=kgt)
 
+    def _pack(births, deaths, nbars, kgt):
+        return np.concatenate(
+            [births.astype(np.int32), deaths.astype(np.int32),
+             nbars.astype(np.int32)[:, None], kgt.astype(np.int32)[:, None]],
+            axis=1)
+
     def topo_step(state, x, y, gt_dot, lr, rng):
         out = _fwd_only(state, x, rng)
         births, deaths, nbars, kgt = _pairing(out, y, gt_dot)
-        return _topo_update(state, x, jnp.asarray(births),
-                            jnp.asarray(deaths), jnp.asarray(nbars),
-                            jnp.asarray(kgt), lr, rng)
+        return _topo_update(state, x, jnp.asarray(_pack(births, deaths,
+                                                        nbars, kgt)), lr, rng)
+
+    def _pair_host(lik, kgt_dev):
+        kgt = np.asarray(kgt_dev).astype(np.int64)
+        # target=None: kgt_override makes the mask unused, so don't pull
+        # the 8MB target tensor across the link every step
+        births, deaths, nbars, kgt = compute_pairing(
+            np.asarray(lik), None, max_bars, kgt_override=kgt)
+        return _pack(births, deaths, nbars, kgt)
 
     class TopoPipeline:
-        """One-batch software pipeline over the two-phase topo step: the
-        device computes batch k's likelihood while the host union-find pairs
-        batch k-1, and batch k-1's update overlaps the next host fetch.
+        """Software pipeline over the two-phase topo step: the host
+        union-find pairs batch k in a worker thread while the device
+        updates older batches and the main thread dispatches/loads ahead.
 
-        Scheduling per call k: dispatch _lik_only(state, x_k) (async), then
-        complete batch k-1 — host pairing on its already-computed likelihood,
-        then _topo_update.  Steady-state time/batch = max(host pairing,
-        device fwd+update) instead of their sum.
+        Scheduling per call k: dispatch _lik_kgt(state, x_k) (async), submit
+        batch k's pairing to a single-worker executor (the job first waits
+        on k's async D2H copy), then — once ``depth`` batches are in
+        flight — collect batch (k-depth)'s pairing result and _topo_update
+        it.  The worker calls the native union-find through ctypes (GIL
+        released for the whole C call), so pairing genuinely overlaps the
+        main thread's tunneled dispatch round trips (network waits) and
+        the data loader's next-batch work.  ONE worker on purpose: the
+        pairing is CPU-bound and the host has one vCPU — concurrent
+        pairing threads just time-slice each other (measured: depth-2 with
+        a thread per batch oscillates 70/190/1170 ms instead of a steady
+        ~400 ms).  depth=2 gives the ~8MB likelihood D2H + queue wait +
+        pairing two full steps of slack, so steady-state time/batch =
+        max(host pairing, device fwd+update, link transfer) instead of
+        their sum.  Measured (UNet-64 512² b8, real chip): 9.0 img/s r2
+        serial -> 15.5 packed-H2D depth-1 -> 17-19 here, essentially the
+        1-vCPU host pairing floor (~360 ms/batch + main-thread dispatch).
 
-        Semantics: batch k's pairing indices come from the params *before*
-        batch k-1's update (one step stale).  The differentiated loss still
-        uses current params — staleness only affects which pixels are
-        selected as critical, the standard trade in pipelined PH training.
-        The serial `topo_step` above keeps the exact two-phase semantics.
-        Call `flush` at epoch end to drain the pending batch.
+        Semantics: batch k's pairing indices come from the params ``depth``
+        updates stale.  The differentiated loss still uses current params —
+        staleness only affects which pixels are selected as critical, the
+        standard trade in pipelined PH training.  The serial `topo_step`
+        above keeps the exact two-phase semantics.  Call `flush` at epoch
+        end to drain the pending batches.
         """
 
-        def __init__(self):
-            self._pending = None
+        def __init__(self, depth: int = 2, workers: int = 1):
+            import collections
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._depth = depth
+            self._pending = collections.deque()
+            self._pool = ThreadPoolExecutor(max_workers=workers)
 
         def step(self, state, x, y, gt_dot, lr, rng):
-            lik = _lik_only(state, x, rng)  # async dispatch
-            kgt = jnp.sum(gt_dot, axis=(1, 2))  # async too
-            try:  # enqueue the D2H copy behind the compute so the ~8MB
-                # likelihood crosses the (tunneled) link while the host is
-                # still pairing the previous batch, not inside _complete
+            lik, kgt = _lik_kgt(state, x, gt_dot, rng)  # async dispatch
+            try:  # enqueue the D2H copies behind the compute so the ~8MB
+                # likelihood crosses the (tunneled) link while the pairing
+                # job is still queued, not under a blocking np.asarray
                 lik.copy_to_host_async()
+                kgt.copy_to_host_async()
             except Exception:  # pragma: no cover - backend without async D2H
                 pass
-            prev, self._pending = self._pending, (x, lr, rng, lik, kgt)
-            if prev is None:
+            self._pending.append(
+                (x, lr, rng, self._pool.submit(_pair_host, lik, kgt)))
+            if len(self._pending) <= self._depth:
                 return state, None
-            return self._complete(state, prev)
+            return self._complete(state, self._pending.popleft())
 
         def flush(self, state):
-            prev, self._pending = self._pending, None
-            if prev is None:
+            losses = []
+            while self._pending:
+                state, loss = self._complete(state, self._pending.popleft())
+                losses.append(loss)
+            # the trainer builds one pipeline per epoch — don't leak a
+            # worker thread past the drain
+            self._pool.shutdown(wait=False)
+            if not losses:
                 return state, None
-            return self._complete(state, prev)
+            return state, jnp.mean(jnp.stack(losses))
 
         def _complete(self, state, prev):
-            import numpy as np
-
-            x, lr, rng, lik, kgt_dev = prev
-            kgt = np.asarray(kgt_dev).astype(np.int64)
-            # target=None: kgt_override makes the mask unused, so don't pull
-            # the 8MB target tensor across the link every step
-            births, deaths, nbars, kgt = compute_pairing(
-                np.asarray(lik), None, max_bars, kgt_override=kgt)
-            return _topo_update(state, x, jnp.asarray(births),
-                                jnp.asarray(deaths), jnp.asarray(nbars),
-                                jnp.asarray(kgt), lr, rng)
+            x, lr, rng, fut = prev
+            return _topo_update(state, x, jnp.asarray(fut.result()), lr, rng)
 
     def topo_eval(state, x, y, gt_dot):
         out = _fwd_only(state, x, jax.random.key(0))
