@@ -265,6 +265,23 @@ class TestDropoutFlashAttention:
         ref = A.attention_reference(q, k, v, 8 ** -0.5)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5)
+        # rate==0 statically skips the in-kernel PRNG in all three passes —
+        # the flash backward must still match the einsum gradients (this is
+        # the ViT train path, models/transunet/vit.py::Attention)
+        import jax
+
+        def loss_k(q, k, v):
+            return (A.dropout_flash_attention(q, k, v, jnp.uint32(7),
+                                              8 ** -0.5, 0.0, True) ** 2).sum()
+
+        def loss_r(q, k, v):
+            return (A.attention_reference(q, k, v, 8 ** -0.5) ** 2).sum()
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
 
     def test_dropout_fwd_bwd_vs_oracle_multitile(self):
         import jax

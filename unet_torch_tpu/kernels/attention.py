@@ -445,9 +445,12 @@ def _dropout_flash_fwd(q, k, v, seed, scale, rate, block_q=256, block_k=512,
         corr = jnp.exp(m_prev - m_new)
         l_scr[...] = l_scr[...] * corr + jnp.sum(e, axis=-1, keepdims=True)
 
-        keep = _keep_mask(seed_ref, i, qi, ki, bq, bk, s.shape, nqt, nkt,
-                          nk_p, thr, hw_prng)
-        e_drop = jnp.where(keep, e * inv_keep, 0.0)
+        if thr > 0:
+            keep = _keep_mask(seed_ref, i, qi, ki, bq, bk, s.shape, nqt,
+                              nkt, nk_p, thr, hw_prng)
+            e_drop = jnp.where(keep, e * inv_keep, 0.0)
+        else:  # rate == 0 (trace-time): plain flash attention, no PRNG work
+            e_drop = e
         pv = jax.lax.dot_general(e_drop.astype(v_ref.dtype), v_ref[0],
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -533,6 +536,8 @@ def _dropout_flash_bwd(q, k, v, seed, lse, dly, g, scale, rate, block_q=256,
         col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < nk, s, -1e30)
         p = jnp.exp(s - lse_ref[0][:, :1])
+        if thr == 0:  # rate == 0 (trace-time): no mask recompute
+            return p, None
         keep = _keep_mask(seed_ref, i, qi, ki, bq, bk, s.shape, nqt, nkt,
                           nk_p, thr, hw_prng)
         return p, keep
@@ -550,14 +555,15 @@ def _dropout_flash_bwd(q, k, v, seed, lse, dly, g, scale, rate, block_q=256,
         p, keep = recompute(seed_ref, q_ref, k_ref, lse_ref, i, qi, ki)
         gb = g_ref[0].astype(jnp.float32)
         vb = v_ref[0].astype(jnp.float32)
-        p_drop = jnp.where(keep, p * inv_keep, 0.0)
+        p_drop = p if keep is None else jnp.where(keep, p * inv_keep, 0.0)
         # dv[k, d] = sum_q p_drop[q, k] g[q, d]
         dv_scr[...] += jax.lax.dot_general(
             p_drop, gb, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(gb, vb, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        dp = jnp.where(keep, dp * inv_keep, 0.0)
+        if keep is not None:
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
         ds = p * (dp - d_ref[0][:, :1])
         # dk[k, d] = sum_q ds[q, k] q[q, d] * scale
         dk_scr[...] += jax.lax.dot_general(
@@ -618,7 +624,8 @@ def _dropout_flash_bwd(q, k, v, seed, lse, dly, g, scale, rate, block_q=256,
         vb = v_ref[0].astype(jnp.float32)
         dp = jax.lax.dot_general(gb, vb, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        dp = jnp.where(keep, dp * inv_keep, 0.0)
+        if keep is not None:
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
         ds = p * (dp - d_ref[0][:, :1])
         dq_scr[...] += jax.lax.dot_general(
             ds, k_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),

@@ -91,16 +91,35 @@ class Attention(nn.Module):
             return t.reshape(b, n, self.num_heads, d_head)
 
         q, k, v = split(q), split(k), split(v)
-        if self.attention_dropout_rate and train:
-            # dropout on the attention matrix needs the materialised probs
+        from unet_torch_tpu.kernels.attention import (
+            _use_pallas_default,
+            dropout_flash_attention,
+            fused_attention,
+        )
+
+        if train and _use_pallas_default():
+            # flash forward AND flash backward (two-pass score recompute in
+            # VMEM) — the differentiated einsum backward materialised four
+            # (B,12,1024,1024) tensors per layer in HBM.  rate==0 skips the
+            # in-kernel PRNG statically, so this also covers the standard
+            # attention_dropout_rate=0.0 ViT configs.
+            rate = float(self.attention_dropout_rate)
+            seed = (jax.random.bits(self.make_rng("dropout"),
+                                    dtype=jnp.uint32) if rate
+                    else jnp.zeros((), jnp.uint32))
+            ctx = dropout_flash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), seed,
+                1.0 / math.sqrt(d_head), rate).transpose(0, 2, 1, 3)
+        elif self.attention_dropout_rate and train:
+            # CPU fallback: dropout on the attention matrix needs the
+            # materialised probs
             scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) / math.sqrt(d_head)
             probs = jax.nn.softmax(scores, axis=-1)
             probs = TPUDropout(self.attention_dropout_rate,
                                deterministic=False)(probs)
             ctx = jnp.einsum("bhnm,bmhd->bnhd", probs, v)
         else:
-            from unet_torch_tpu.kernels.attention import fused_attention
-
             ctx = fused_attention(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3),
