@@ -162,7 +162,7 @@ def run_torch(train, val, checkpoints, lr, seed):
     return traj
 
 
-def run_ours(train, val, checkpoints, lr, seed):
+def run_ours(train, val, checkpoints, lr, seed, precision="f32"):
     import jax
     import jax.numpy as jnp
 
@@ -175,7 +175,7 @@ def run_ours(train, val, checkpoints, lr, seed):
     from unet_torch_tpu.train.optim import make_optimizer
     from unet_torch_tpu.train.state import TrainState
 
-    model, criterion, _ = build_cltr(dict(SMALL))
+    model, criterion, _ = build_cltr({**SMALL, "precision": precision})
     tx = make_optimizer("Adam", lr, 0.0, clip_max_norm=CLIP)
     xs, targets = train
     n = len(xs)
@@ -235,6 +235,10 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--out", default=os.path.join(
         HERE, "PARITY_CLTR_DETECT.json"))
+    ap.add_argument("--bf16", action="store_true",
+                    help="add an ours-bf16 arm (precision quality sign-off)")
+    ap.add_argument("--no-torch", action="store_true",
+                    help="skip the torch arm (reuse a previous JSON's)")
     args = ap.parse_args()
 
     import jax
@@ -248,24 +252,31 @@ def main():
         baseline = float(np.mean([len(t["labels"]) for t in va[1]]))
         print(f"seed {s}: no-detection baseline MAE {baseline:.3f}",
               flush=True)
-        t_traj = run_torch(tr, va, checkpoints, args.lr, s)
-        o_traj = run_ours(tr, va, checkpoints, args.lr, s)
-        runs.append({"seed": s, "baseline_mae": round(baseline, 3),
-                     "torch": t_traj, "ours": o_traj})
+        row = {"seed": s, "baseline_mae": round(baseline, 3)}
+        if not args.no_torch:
+            row["torch"] = run_torch(tr, va, checkpoints, args.lr, s)
+        row["ours"] = run_ours(tr, va, checkpoints, args.lr, s)
+        if args.bf16:
+            row["ours_bf16"] = run_ours(tr, va, checkpoints, args.lr, s,
+                                        precision="bf16")
+        runs.append(row)
 
     last = str(checkpoints[-1])
+
+    def _final(arm):
+        vals = [r[arm][int(last) if int(last) in r[arm] else last]
+                ["count_mae"] for r in runs if arm in r]
+        return round(float(np.mean(vals)), 4) if vals else None
+
     summary = {
         "config": {**{k: v for k, v in SMALL.items()},
                    "lr": args.lr, "clip": CLIP, "size": SIZE,
                    "n_train": N_TRAIN, "n_val": N_VAL, "batch": BATCH,
                    "checkpoints": checkpoints, "seeds": args.seeds},
         "runs": runs,
-        "torch_final_mae": round(float(np.mean(
-            [r["torch"][int(last) if int(last) in r["torch"] else last]
-             ["count_mae"] for r in runs])), 4),
-        "ours_final_mae": round(float(np.mean(
-            [r["ours"][int(last) if int(last) in r["ours"] else last]
-             ["count_mae"] for r in runs])), 4),
+        "torch_final_mae": _final("torch"),
+        "ours_final_mae": _final("ours"),
+        "ours_bf16_final_mae": _final("ours_bf16"),
         "baseline_mae": round(float(np.mean(
             [r["baseline_mae"] for r in runs])), 4),
     }
