@@ -95,3 +95,79 @@ def test_auction_adversarial_cost_spreads(spread):
     opt = cost[rows, cols].sum()
     ours = _total_cost(cost, match, t)
     assert ours <= opt + 1e-3 * max(1.0, abs(opt))
+
+
+class TestPallasAuction:
+    """Whole-auction Pallas kernel (interpret mode) vs scipy / the jnp path."""
+
+    def test_pallas_matches_scipy_cost(self):
+        from unet_torch_tpu.kernels.auction import auction_lsap_pallas
+
+        rng = np.random.RandomState(7)
+        B, Q, T = 5, 200, 17
+        costs = rng.rand(B, Q, T) * 10
+        valid = np.ones((B, T), bool)
+        valid[2, 9:] = False
+        valid[4, :] = False
+        out = np.asarray(auction_lsap_pallas(jnp.asarray(costs),
+                                             jnp.asarray(valid),
+                                             interpret=True))
+        assert out.shape == (B, T)
+        for b in range(B):
+            n = int(valid[b].sum())
+            if n == 0:
+                assert (out[b] == 0).all()
+                continue
+            rows, cols = linear_sum_assignment(costs[b][:, :n])
+            opt = costs[b][rows, cols].sum()
+            assert len(set(out[b, :n].tolist())) == n
+            ours = _total_cost(costs[b], out[b], n)
+            assert ours <= opt + 1e-3 * max(1, abs(opt))
+            assert (out[b, n:] == 0).all()
+
+    def test_pallas_matches_jnp_path(self):
+        """Same tie rules: the kernel and the vmapped while_loop agree
+        exactly on instances with distinct costs."""
+        import jax
+
+        from unet_torch_tpu.kernels.auction import (
+            auction_lsap,
+            auction_lsap_pallas,
+        )
+
+        rng = np.random.RandomState(11)
+        B, Q, T = 4, 150, 12
+        costs = rng.rand(B, Q, T).astype(np.float32) * 3
+        valid = np.ones((B, T), bool)
+        ker = np.asarray(auction_lsap_pallas(jnp.asarray(costs),
+                                             jnp.asarray(valid),
+                                             interpret=True))
+        ref = np.asarray(jax.vmap(auction_lsap)(jnp.asarray(costs),
+                                                jnp.asarray(valid)))
+        # both are eps-optimal; costs must agree to eps-bound even where
+        # index choices differ
+        for b in range(B):
+            ck = _total_cost(costs[b], ker[b], T)
+            cr = _total_cost(costs[b], ref[b], T)
+            assert abs(ck - cr) <= 1e-2
+
+    def test_batched_routing_interpret(self):
+        from unet_torch_tpu.kernels.auction import auction_lsap_batched
+
+        rng = np.random.RandomState(13)
+        costs = rng.rand(2, 3, 140, 6).astype(np.float32)
+        valid = np.ones((2, 3, 6), bool)
+        valid[1, :, 4:] = False
+        out_k = np.asarray(auction_lsap_batched(jnp.asarray(costs),
+                                                jnp.asarray(valid),
+                                                interpret=True))
+        out_j = np.asarray(auction_lsap_batched(jnp.asarray(costs),
+                                                jnp.asarray(valid),
+                                                use_pallas=False))
+        assert out_k.shape == out_j.shape == (2, 3, 6)
+        for l in range(2):
+            for b in range(3):
+                n = int(valid[l, b].sum())
+                ck = _total_cost(costs[l, b], out_k[l, b], n)
+                cj = _total_cost(costs[l, b], out_j[l, b], n)
+                assert abs(ck - cj) <= 1e-2
