@@ -418,7 +418,7 @@ def _make_cltr_state(batch, precision="bf16"):
                        jnp.asarray(valid), 1e-4, jax.random.key(1))
 
 
-def tpu_cltr(batch=8, steps=10, precision="bf16"):
+def tpu_cltr(batch=16, steps=10, precision="bf16"):
     # batch sweep (r3): b4 35.7, b8 40.1, b16 35.4 img/s — b8 optimal.
     # r4: transformer compute dtype configurable; criterion/softmax/points
     # stay f32 (models/cltr/model.py).
@@ -536,7 +536,9 @@ CONFIGS = [
      "unet_mc"),
     ("multitask_unet64_512px_bf16_b8", tpu_multitask, "multitask"),
     ("transunet_r50vitb16_512px_bf16_b8", tpu_transunet, "transunet"),
-    ("cltr_2000q_256px_bf16_b8_fused", tpu_cltr, "cltr"),
+    # b16 became the knee once the Pallas auction removed the matcher wall
+    # (b8 126.4 / b16 127.2 / b32 117.5 img/s)
+    ("cltr_2000q_256px_bf16_b16_fused", tpu_cltr, "cltr"),
     ("unet64_512px_topo_two_phase_b8", tpu_topo, None),
     ("unet64_512px_bf16_b16_infer", tpu_unet_infer, "unet_infer"),
     ("transunet_r50vitb16_512px_bf16_b16_infer", tpu_transunet_infer,
