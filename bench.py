@@ -444,15 +444,18 @@ def tpu_unet_infer(batch=16, steps=20):
     x = jnp.asarray(rng.randn(batch, SIZE, SIZE, CHANNELS), jnp.float32)
     variables = model.init(jax.random.key(0), x[:1], train=False)
 
+    # variables as an ARGUMENT, not a closure: closed-over params are baked
+    # into the serialized HLO as literals, which blows the axon tunnel's
+    # remote-compile request limit on big models (HTTP 413 on TransUnet)
     @jax.jit
-    def predict(x):
+    def predict(variables, x):
         out = model.apply(variables, x, train=False)
         return jnp.argmax(jax.nn.softmax(out, axis=-1), axis=-1)
 
-    np.asarray(predict(x))  # compile + warm
+    np.asarray(predict(variables, x))  # compile + warm
     t0 = time.perf_counter()
     for _ in range(steps - 1):
-        pred = predict(x)
+        pred = predict(variables, x)
     np.asarray(pred)
     return (steps - 1) * batch / (time.perf_counter() - t0)
 
@@ -472,15 +475,16 @@ def tpu_transunet_infer(batch=16, steps=10):
     x = jnp.asarray(rng.randn(batch, SIZE, SIZE, CHANNELS), jnp.float32)
     variables = model.init(jax.random.key(0), x[:1], train=False)
 
+    # params as an argument — see tpu_unet_infer (HTTP 413 otherwise)
     @jax.jit
-    def predict(x):
+    def predict(variables, x):
         out = model.apply(variables, x, train=False)
         return jnp.argmax(jax.nn.softmax(out, axis=-1), axis=-1)
 
-    np.asarray(predict(x))
+    np.asarray(predict(variables, x))
     t0 = time.perf_counter()
     for _ in range(steps - 1):
-        pred = predict(x)
+        pred = predict(variables, x)
     np.asarray(pred)
     return (steps - 1) * batch / (time.perf_counter() - t0)
 
