@@ -63,3 +63,41 @@ def test_topo_loss_gradient_flows_to_critical_pixels():
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert np.abs(g).sum() > 0  # gradient reaches the critical pixels
+
+
+def test_topo_pipeline_completes_every_batch():
+    """Depth-2 pipeline bookkeeping: every batch produces exactly one update
+    (state.step advances once per batch), flush drains all pending, and
+    epochs shorter than the pipeline depth still train."""
+    from unet_torch_tpu.models.unet import UNet
+    from unet_torch_tpu.train.optim import make_optimizer
+    from unet_torch_tpu.train.state import TrainState
+    from unet_torch_tpu.train.steps import make_topo_steps
+
+    model = UNet(3, 1, 4)
+    tx = make_optimizer("Adam", 1e-3, 0.0)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    y = jnp.asarray((rng.rand(2, 32, 32) > 0.6), jnp.float32)
+    dots = jnp.asarray(rng.rand(2, 32, 32) > 0.99, jnp.float32)
+    variables = model.init(jax.random.key(0), x[:1], train=False)
+    (_w, _we), (_ts, _te), TopoPipeline = make_topo_steps(model, tx,
+                                                          "TopoLoss", 1)
+
+    for n_batches in (1, 2, 5):  # below, at, and above the default depth
+        pipe = TopoPipeline()
+        # fresh, unaliased state each round: _topo_update donates its
+        # buffers, which would invalidate `variables` itself
+        v = jax.tree.map(jnp.array, variables)
+        st = TrainState.create(v["params"], v.get("batch_stats", {}), tx)
+        start = int(st.step)  # read before the update donates the buffers
+        losses = []
+        for _ in range(n_batches):
+            st, loss = pipe.step(st, x, y, dots, 1e-3, jax.random.key(1))
+            if loss is not None:
+                losses.append(loss)
+        st, loss = pipe.flush(st)
+        if loss is not None:
+            losses.append(loss)
+        assert int(st.step) == start + n_batches
+        assert all(np.isfinite(np.asarray(l)) for l in losses)
