@@ -191,3 +191,27 @@ def test_multitask_uncertainty_formula():
     s1, s2 = np.exp(0.5) ** 0.5, np.exp(-0.3) ** 0.5
     ref = (1 / (2 * s1**2)) * 2.0 + np.log(s1) + (1 / s2**2) * 3.0 + np.log(s2)
     assert np.isclose(out, ref, atol=1e-6)
+
+
+def test_binary_ce_margin_specialisation_matches_torch():
+    """num_classes==2 CE runs on the logit margin (softplus form — full-lane
+    rank-3 math on TPU, losses/functional.py::softmax_cross_entropy); pin
+    value AND gradient against torch CrossEntropyLoss."""
+    from unet_torch_tpu.losses.functional import softmax_cross_entropy
+
+    rng = np.random.RandomState(7)
+    pred = rng.randn(2, 8, 8, 2).astype(np.float32) * 3
+    tgt = rng.randint(0, 2, (2, 8, 8)).astype(np.int64)
+
+    ours = float(softmax_cross_entropy(jnp.asarray(pred), jnp.asarray(tgt), 2))
+    tp = to_torch_nchw(pred).requires_grad_(True)
+    ref = torch.nn.CrossEntropyLoss()(tp, torch.from_numpy(tgt))
+    assert np.isclose(ours, ref.item(), atol=1e-6)
+
+    ref.backward()
+    g_ref = tp.grad.permute(0, 2, 3, 1).numpy()
+    import jax
+    g_ours = np.asarray(jax.grad(
+        lambda l: softmax_cross_entropy(l, jnp.asarray(tgt), 2)
+    )(jnp.asarray(pred)))
+    assert np.max(np.abs(g_ours - g_ref)) < 1e-6

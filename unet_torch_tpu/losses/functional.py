@@ -29,7 +29,18 @@ def sigmoid_bce_with_logits(logits, labels):
 
 
 def softmax_cross_entropy(logits, labels, num_classes):
-    """torch nn.CrossEntropyLoss (mean) — logits (..., C), labels (...) int."""
+    """torch nn.CrossEntropyLoss (mean) — logits (..., C), labels (...) int.
+
+    The binary case is computed on the logit margin t = z1 - z0:
+    CE = softplus(t) - y*t (same formula, fewer padded-lane passes — a
+    (B,H,W,2) tensor keeps only 2 of 128 lanes live on TPU, so every
+    elementwise op over it costs 64x its useful bytes; the margin is a
+    rank-3 (B,H,W) array whose minor dim W fills the lanes)."""
+    if num_classes == 2 and logits.shape[-1] == 2:
+        t = (logits[..., 1].astype(jnp.float32)
+             - logits[..., 0].astype(jnp.float32))
+        y = (labels > 0).astype(t.dtype)
+        return jnp.mean(jax.nn.softplus(t) - y * t)
     logp = jax.nn.log_softmax(logits, axis=-1)
     onehot = jax.nn.one_hot(labels.astype(jnp.int32), num_classes, dtype=logp.dtype)
     return -jnp.mean(jnp.sum(onehot * logp, axis=-1))
