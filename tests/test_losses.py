@@ -215,3 +215,31 @@ def test_binary_ce_margin_specialisation_matches_torch():
         lambda l: softmax_cross_entropy(l, jnp.asarray(tgt), 2)
     )(jnp.asarray(pred)))
     assert np.max(np.abs(g_ours - g_ref)) < 1e-6
+
+
+def test_dice_bce_mc_planes_matches_generic_composition():
+    """dice_bce_mc's class-planes path (full-lane rank-3 math on TPU,
+    losses/functional.py::_dice_bce_mc_planes) == 0.5*CE + 0.5*softmax-dice
+    composed from the generic pieces, value and gradient."""
+    import jax
+    from unet_torch_tpu.losses.functional import (dice_bce_mc_loss,
+                                                  multiclass_dice_loss)
+
+    rng = np.random.RandomState(11)
+    for n in (2, 3):
+        pred = jnp.asarray(rng.randn(2, 8, 8, n).astype(np.float32) * 2)
+        tgt = jnp.asarray(rng.randint(0, n, (2, 8, 8)))
+
+        def generic(p):
+            logp = jax.nn.log_softmax(p, axis=-1)
+            oh = jax.nn.one_hot(tgt.astype(jnp.int32), n, dtype=p.dtype)
+            ce = -jnp.mean(jnp.sum(oh * logp, axis=-1))
+            return 0.5 * ce + 0.5 * multiclass_dice_loss(p, tgt, n,
+                                                         softmax=True)
+
+        v1 = float(dice_bce_mc_loss(pred, tgt, n))
+        v2 = float(generic(pred))
+        assert np.isclose(v1, v2, atol=1e-6)
+        g1 = jax.grad(lambda p: dice_bce_mc_loss(p, tgt, n))(pred)
+        g2 = jax.grad(generic)(pred)
+        assert float(jnp.max(jnp.abs(g1 - g2))) < 1e-6

@@ -163,8 +163,41 @@ def dice_bce_loss(pred, target, bce_weight: float = 0.5):
         binary_dice_loss(pred, target)
 
 
+def _dice_bce_mc_planes(pred, target, num_classes, bce_weight):
+    """Class-planes evaluation of dice_bce_mc for small C.
+
+    A (B,H,W,C) tensor with C of 2-3 keeps only C of 128 TPU lanes live, so
+    the generic one_hot/softmax/log_softmax chain pays ~128/C x its useful
+    bytes on every elementwise pass (fwd and bwd).  Slicing the logits into C
+    rank-3 (B,H,W) planes up front (one fused read of the padded tensor)
+    lets the whole CE + soft-dice computation — sharing a single softmax —
+    run at full lane width.  Mathematically identical to
+    0.5*CE + 0.5*DiceLoss(softmax), evaluated in f32."""
+    y = target.astype(jnp.int32)
+    z = [pred[..., c].astype(jnp.float32) for c in range(num_classes)]
+    m = z[0]
+    for zc in z[1:]:
+        m = jnp.maximum(m, zc)
+    e = [jnp.exp(zc - m) for zc in z]
+    s = sum(e)
+    # CE = mean(logsumexp - z_y) = mean(log s + m - z_y)
+    z_y = sum(jnp.where(y == c, zc, 0.0) for c, zc in enumerate(z))
+    ce = jnp.mean(jnp.log(s) + m - z_y)
+    smooth = 1e-5
+    dice = 0.0
+    for c in range(num_classes):
+        p = e[c] / s
+        t = (y == c).astype(p.dtype)
+        intersect = jnp.sum(p * t)
+        dice += 1.0 - (2.0 * intersect + smooth) / (
+            jnp.sum(p * p) + jnp.sum(t) + smooth)
+    return bce_weight * ce + (1.0 - bce_weight) * dice / num_classes
+
+
 def dice_bce_mc_loss(pred, target, num_classes, bce_weight: float = 0.5):
     """dice_bce_mc (loss.py:488-500): 0.5*CE + 0.5*DiceLoss(softmax) — flagship."""
+    if pred.ndim == 4 and pred.shape[-1] == num_classes and num_classes <= 8:
+        return _dice_bce_mc_planes(pred, target, num_classes, bce_weight)
     ce = softmax_cross_entropy(pred, target, num_classes)
     dice = multiclass_dice_loss(pred, target, num_classes, softmax=True)
     return bce_weight * ce + (1.0 - bce_weight) * dice
