@@ -429,14 +429,16 @@ def tpu_cltr(batch=16, steps=10, precision="bf16"):
 
 def tpu_unet_infer(batch=16, steps=20):
     """Inference path (the driver target is train+infer, BASELINE.json:2):
-    jit'd eval forward (train=False, running BN stats), softmax+argmax on
-    device — the same signature eval/reports.py::make_predict_fn batches
-    tiles through — honest sync via device_get."""
+    jit'd eval forward (train=False, running BN stats), class-map
+    postprocess on device (class_argmax == the reference's softmax->argmax)
+    — the same signature eval/reports.py::make_predict_fn batches tiles
+    through — honest sync via device_get."""
     import numpy as np
 
     import jax
     import jax.numpy as jnp
 
+    from unet_torch_tpu.eval.metrics import class_argmax
     from unet_torch_tpu.models.unet import UNet
 
     model = UNet(CHANNELS, N_CLASSES, 64, fold=True, dtype=jnp.bfloat16)
@@ -450,7 +452,7 @@ def tpu_unet_infer(batch=16, steps=20):
     @jax.jit
     def predict(variables, x):
         out = model.apply(variables, x, train=False)
-        return jnp.argmax(jax.nn.softmax(out, axis=-1), axis=-1)
+        return class_argmax(out)
 
     np.asarray(predict(variables, x))  # compile + warm
     t0 = time.perf_counter()
@@ -467,6 +469,7 @@ def tpu_transunet_infer(batch=16, steps=10):
     import jax
     import jax.numpy as jnp
 
+    from unet_torch_tpu.eval.metrics import class_argmax
     from unet_torch_tpu.models.transunet import build_transunet
 
     model = build_transunet("TransUnet", img_size=SIZE, n_channels=CHANNELS,
@@ -479,7 +482,7 @@ def tpu_transunet_infer(batch=16, steps=10):
     @jax.jit
     def predict(variables, x):
         out = model.apply(variables, x, train=False)
-        return jnp.argmax(jax.nn.softmax(out, axis=-1), axis=-1)
+        return class_argmax(out)
 
     np.asarray(predict(variables, x))
     t0 = time.perf_counter()

@@ -67,3 +67,21 @@ def test_hed_channel_dataset(tmp_path):
     img, label = ds[0]
     assert img.shape == (32, 32, 1)  # hematoxylin channel only
     assert np.isfinite(img).all()
+
+
+def test_class_argmax_matches_jnp_argmax():
+    """class_argmax (full-lane plane compares) == jnp.argmax incl. ties."""
+    import jax.numpy as jnp
+
+    from unet_torch_tpu.eval.metrics import class_argmax
+
+    rng = np.random.RandomState(5)
+    for c in (2, 3, 4):
+        x = rng.randn(2, 7, 9, c).astype(np.float32)
+        # force ties on some pixels (first-max-wins must match)
+        x[0, 0, 0, :] = 1.0
+        x[1, 2, 3, :2] = 5.0
+        got = np.asarray(class_argmax(jnp.asarray(x)))
+        want = np.argmax(x, axis=-1)
+        assert got.dtype == np.int32
+        np.testing.assert_array_equal(got, want)

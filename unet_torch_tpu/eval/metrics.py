@@ -36,3 +36,27 @@ def mr_accuracy(pred_logits: np.ndarray, gt_dot: np.ndarray) -> float:
         elif count_pred != 0:
             mre += 1.0
     return mre / bsz
+
+
+def class_argmax(logits):
+    """argmax over the trailing class axis via full-lane plane compares.
+
+    Semantics identical to the reference's softmax->argmax chain
+    (test_mc3serousv5.py:878-887): softmax is monotone, and first-max-wins
+    tie-breaking matches torch/jnp argmax.  On TPU a (B,H,W,C) tensor with
+    C of 2-4 keeps only C of 128 lanes live, so jnp.argmax over the class
+    axis pays ~128/C x its useful bytes; comparing C rank-3 (B,H,W) planes
+    runs at full lane width."""
+    import jax.numpy as jnp
+
+    c = logits.shape[-1]
+    if c > 8:
+        return jnp.argmax(logits, axis=-1)
+    best = logits[..., 0]
+    idx = jnp.zeros(logits.shape[:-1], jnp.int32)
+    for k in range(1, c):
+        zk = logits[..., k]
+        take = zk > best
+        idx = jnp.where(take, jnp.int32(k), idx)
+        best = jnp.where(take, zk, best)
+    return idx

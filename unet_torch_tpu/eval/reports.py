@@ -69,9 +69,17 @@ def preprocess_eval(img_org: np.ndarray, input_size) -> np.ndarray:
     return to_model_input(img)[None]
 
 
-def make_predict_fn(trainer):
-    """Jitted argmax/softmax forward on the trainer's current (best) state."""
+def make_predict_fn(trainer, classes: bool = False):
+    """Jitted eval forward on the trainer's current (best) state.
+
+    classes=True fuses the reference's softmax->argmax postprocess on device
+    (full-lane plane compares, eval/metrics.py::class_argmax) and returns a
+    uint8 class map — 12x less device->host traffic than f32 3-class logits
+    through the tunnel."""
     import jax
+    import jax.numpy as jnp
+
+    from unet_torch_tpu.eval.metrics import class_argmax
 
     model = trainer.model
     state = trainer.state
@@ -80,6 +88,8 @@ def make_predict_fn(trainer):
     def predict(x):
         out = model.apply({"params": _model_params(state),
                            "batch_stats": state.batch_stats}, x, train=False)
+        if classes:
+            return class_argmax(out).astype(jnp.uint8)
         return out
 
     return predict
@@ -972,14 +982,14 @@ def test_single_mc(trainer, input_size, ch, num_class, image_list, save_dir):
     else:
         raise ValueError(f"invalid Num_Class {num_class} for test_single_mc")
 
-    predict = make_predict_fn(trainer)
+    predict = make_predict_fn(trainer, classes=True)
     # batch across images (they all zoom to input_size; the reference
     # predicts serially at batch 1, test_mc3serousv5.py:878)
     for paths, originals, outs in _batched_eval(image_list, ch, input_size,
                                                 predict):
         for img_path, img_org, out in zip(paths, originals, outs):
             h, w = img_org.shape[:2]
-            pred = np.argmax(out, axis=-1)
+            pred = out
             if (h, w) != tuple(input_size):
                 pred = zoom_resize(pred, h, w, order=0)
             pred = np.uint8(pred)
