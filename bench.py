@@ -553,9 +553,59 @@ CONFIGS = [
 ]
 
 
+def _axon_reachable(timeout_s: int = 150) -> bool:
+    """Probe the tunneled backend in a bounded subprocess.
+
+    An axon outage makes `jax.devices()` block ~4 min before raising
+    UNAVAILABLE (CLAUDE.md); probing in-process would also poison this
+    process's cached backend.  A subprocess with a hard timeout gives a
+    clean yes/no."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.devices(); print('up')"],
+            capture_output=True, timeout=timeout_s)
+        return r.returncode == 0 and b"up" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_for_axon() -> bool:
+    """Retry the probe for up to BENCH_WAIT_S seconds (default 30 min).
+
+    The tunnel has multi-hour outages; the driver runs this script once at
+    round end, so a bounded wait beats either hanging forever or instantly
+    recording an all-error suite."""
+    budget = float(os.environ.get("BENCH_WAIT_S", "1800"))
+    t0 = time.monotonic()
+    while True:
+        if _axon_reachable():
+            return True
+        waited = time.monotonic() - t0
+        if waited >= budget:
+            return False
+        log(f"axon tunnel unreachable ({waited:.0f}s elapsed); "
+            f"retrying in 120s (budget {budget:.0f}s)")
+        time.sleep(min(120.0, budget - waited))
+
+
 def main():
     only = os.environ.get("BENCH_CONFIGS")
     wanted = set(only.split(",")) if only else None
+    if not _wait_for_axon():
+        log("axon tunnel unavailable for the whole BENCH_WAIT_S budget")
+        print(json.dumps({
+            "metric": "unet64_512px_bf16_train_images_per_sec_per_chip",
+            "value": None,
+            "unit": "images/sec",
+            "vs_baseline": None,
+            "error": "axon TPU tunnel unavailable (probe timed out for the "
+                     "whole BENCH_WAIT_S budget); no measurements taken",
+            "suite": [],
+        }))
+        return
     suite = []
     headline = None
     for name, fn, baseline_key in CONFIGS:
