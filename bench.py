@@ -455,6 +455,7 @@ def tpu_unet_infer(batch=16, steps=20):
         return class_argmax(out)
 
     np.asarray(predict(variables, x))  # compile + warm
+    steps = max(steps, 2)  # the timed loop runs steps-1 iterations
     t0 = time.perf_counter()
     for _ in range(steps - 1):
         pred = predict(variables, x)
@@ -485,6 +486,7 @@ def tpu_transunet_infer(batch=16, steps=10):
         return class_argmax(out)
 
     np.asarray(predict(variables, x))
+    steps = max(steps, 2)  # the timed loop runs steps-1 iterations
     t0 = time.perf_counter()
     for _ in range(steps - 1):
         pred = predict(variables, x)

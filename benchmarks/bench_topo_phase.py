@@ -34,8 +34,8 @@ for i in range(12):
     t0 = time.perf_counter()
     state, loss = pipe.step(state, x, y, dots, 1e-3, key)
     times.append(time.perf_counter() - t0)
-state, loss = pipe.flush(state)
-print("final loss:", float(loss), flush=True)
+state, drained = pipe.flush(state)
+print("final loss:", float(drained[-1]), flush=True)
 print("steady step ms:", [f"{t*1e3:.0f}" for t in times], flush=True)
 agg = sum(times[2:]) / len(times[2:])
 print(f"img/s (aggregate): {B/agg:.2f} | median: {B/np.median(times[2:]):.2f}",

@@ -103,8 +103,10 @@ def main():
               lambda: bench._make_multitask_state(8), 8)
     add_train("transunet_r50vitb16_512px_bf16_b8",
               lambda: bench._make_transunet_state(8), 8)
-    add_train("cltr_2000q_256px_bf16_b16_fused",
-              lambda: bench._make_cltr_state(16, "bf16"), 16)
+    # b8 to match the committed MFU.json / BASELINE.md row (the bench suite's
+    # throughput entry runs b16, but the MFU ledger was measured at b8)
+    add_train("cltr_2000q_256px_bf16_b8_fused",
+              lambda: bench._make_cltr_state(8, "bf16"), 8)
 
     # inference rows
     import jax

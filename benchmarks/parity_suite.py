@@ -116,8 +116,9 @@ def mc_ours(train, val, epochs, base, lr, batch, seed, dtype="float32"):
         perm = rng.permutation(len(xs))
         for i in range(0, len(xs), batch):
             idx = perm[i:i + batch]
+            key, sub = jax.random.split(key)
             state, _ = step(state, jnp.asarray(xs[idx]),
-                            jnp.asarray(ys[idx], jnp.float32), lr, key)
+                            jnp.asarray(ys[idx], jnp.float32), lr, sub)
     out = model.apply({"params": state.params,
                        "batch_stats": state.batch_stats},
                       jnp.asarray(vx), train=False)
@@ -197,10 +198,11 @@ def multitask_ours(train, val, epochs, base, lr, batch, seed):
         perm = rng.permutation(len(xs))
         for i in range(0, len(xs), batch):
             idx = perm[i:i + batch]
+            key, sub = jax.random.split(key)
             state, *_ = step(state, jnp.asarray(xs[idx]),
                              jnp.asarray(y1s[idx][..., 0]),
                              jnp.asarray(y2s[idx][..., 0]),
-                             lr, key, no_ratio)
+                             lr, sub, no_ratio)
     o1, o2 = model.apply({"params": state.params,
                           "batch_stats": state.batch_stats},
                          jnp.asarray(vx), train=False)
@@ -286,8 +288,9 @@ def tu_ours(train, val, epochs, lr, batch, seed):
         perm = rng.permutation(len(xs))
         for i in range(0, len(xs), batch):
             idx = perm[i:i + batch]
+            key, sub = jax.random.split(key)
             state, _ = step(state, jnp.asarray(xs[idx]),
-                            jnp.asarray(ys[idx], jnp.float32), lr, key)
+                            jnp.asarray(ys[idx], jnp.float32), lr, sub)
     out = model.apply({"params": state.params,
                        "batch_stats": state.batch_stats},
                       jnp.asarray(vx), train=False)
@@ -328,10 +331,11 @@ def topo_ours(train, val, epochs, base, lr, batch, seed, use_topo):
             bx = jnp.asarray(xs[idx])
             by = jnp.asarray(ys[idx], jnp.float32)
             bd = jnp.asarray(dots[idx], jnp.float32)
+            key, sub = jax.random.split(key)
             if ep <= warm_epochs:
-                state, _ = warm_step(state, bx, by, bd, lr, key)
+                state, _ = warm_step(state, bx, by, bd, lr, sub)
             else:
-                state, _ = topo_step(state, bx, by, bd, lr, key)
+                state, _ = topo_step(state, bx, by, bd, lr, sub)
     out = model.apply({"params": state.params,
                        "batch_stats": state.batch_stats},
                       jnp.asarray(vx), train=False)
@@ -463,17 +467,23 @@ def main():
             "per_seed_topo": [round(v, 4) for v in topo]}
         print("topo:", json.dumps(results["topo_count_mre"]), flush=True)
 
+    # protocol is recorded PER EXPERIMENT: entries in the merged JSON may
+    # come from runs with different seed/epoch settings, so a single shared
+    # block would misdocument every entry the current run didn't produce
+    proto = {"seeds": args.seeds, "epochs": args.epochs, "base": args.base,
+             "lr": args.lr, "batch": args.batch, "size": 64,
+             "n_train": 32, "n_val": 48}
+    for entry in results.values():
+        entry["protocol"] = dict(proto)
+
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             args.out)
     existing = {}
     if os.path.exists(out_path):
         with open(out_path) as f:
             existing = json.load(f)
+    existing.pop("protocol", None)  # legacy shared block
     existing.update(results)
-    existing["protocol"] = {"seeds": args.seeds, "epochs": args.epochs,
-                            "base": args.base, "lr": args.lr,
-                            "batch": args.batch, "size": 64,
-                            "n_train": 32, "n_val": 48}
     with open(out_path, "w") as f:
         json.dump(existing, f, indent=2)
     print(json.dumps(existing, indent=2))

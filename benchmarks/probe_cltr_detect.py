@@ -61,7 +61,11 @@ def run_ours_trajectory(train, val, checkpoints, lr, seed, small):
                                    jnp.asarray(labels), jnp.asarray(points),
                                    jnp.asarray(valid))
             losses.append(float(loss))
-            scores.append(np.asarray(jax.nn.sigmoid(logits[..., 0])))
+            # reference counting rule flattens queries*classes — every
+            # sigmoid entry above threshold counts, BOTH class channels
+            # (Trainer.py:558-569; matches parity_cltr_detect's arms)
+            probs = np.asarray(jax.nn.sigmoid(logits))
+            scores.append(probs.reshape(probs.shape[0], -1))
         return (float(np.mean(losses)),
                 pc._count_mae(np.concatenate(scores), vt))
 

@@ -96,8 +96,9 @@ def test_topo_pipeline_completes_every_batch():
             st, loss = pipe.step(st, x, y, dots, 1e-3, jax.random.key(1))
             if loss is not None:
                 losses.append(loss)
-        st, loss = pipe.flush(st)
-        if loss is not None:
-            losses.append(loss)
+        st, drained = pipe.flush(st)
+        losses.extend(drained)
         assert int(st.step) == start + n_batches
+        # every batch contributes exactly one loss entry (equal weighting)
+        assert len(losses) == n_batches
         assert all(np.isfinite(np.asarray(l)) for l in losses)

@@ -32,10 +32,11 @@ xavier_uniform = nn.initializers.xavier_uniform()
 
 
 def _use_dropout_kernel() -> bool:
-    try:
-        return jax.default_backend() not in ("cpu", "gpu")
-    except Exception:  # pragma: no cover
-        return False
+    # single source of truth for kernel-vs-einsum routing: the same
+    # predicate the rest of the kernel family uses
+    from unet_torch_tpu.kernels.attention import _use_pallas_default
+
+    return _use_pallas_default()
 
 
 def _dense(features, name, dtype=jnp.float32):

@@ -321,6 +321,12 @@ def make_topo_steps(model, tx, loss_type: str, num_classes: int,
             return self._complete(state, self._pending.popleft())
 
         def flush(self, state):
+            """Drain pending batches; returns (state, [per-batch losses]).
+
+            Individual losses (not their mean) so epoch-loss accounting can
+            weight every batch equally — a mean-of-the-tail entry averaged
+            next to per-batch entries would give the last ``depth`` batches
+            half weight."""
             losses = []
             while self._pending:
                 state, loss = self._complete(state, self._pending.popleft())
@@ -328,9 +334,7 @@ def make_topo_steps(model, tx, loss_type: str, num_classes: int,
             # the trainer builds one pipeline per epoch — don't leak a
             # worker thread past the drain
             self._pool.shutdown(wait=False)
-            if not losses:
-                return state, None
-            return state, jnp.mean(jnp.stack(losses))
+            return state, losses
 
         def _complete(self, state, prev):
             x, lr, rng, fut = prev

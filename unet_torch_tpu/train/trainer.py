@@ -369,9 +369,8 @@ class Trainer:
                 if loss is not None:
                     losses.append(loss)
             if pipe is not None:
-                self.state, loss = pipe.flush(self.state)
-                if loss is not None:
-                    losses.append(loss)
+                self.state, drained = pipe.flush(self.state)
+                losses.extend(drained)
             epoch_loss = float(np.mean([np.asarray(l) for l in losses]))
             time_elapsed = time.time() - since
             totaltime += time_elapsed
