@@ -269,3 +269,86 @@ def test_transunet_folded_tail_equivalence():
     for a, b in zip(jax.tree_util.tree_leaves(bs1),
                     jax.tree_util.tree_leaves(bs0)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_planes_head_loss_equivalence(rng):
+    """Fused planes head (planes=True + dice_bce_mc_planes_folded) matches
+    the standard path (unfolded logits + dice_bce_mc_loss): value and
+    gradients, train mode."""
+    from unet_torch_tpu.losses.functional import (dice_bce_mc_loss,
+                                                  dice_bce_mc_planes_folded)
+    from unet_torch_tpu.models.unet import UNet
+
+    x = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 3, (2, 32, 32)), jnp.float32)
+    m = UNet(3, 3, 8, fold=True)
+    v = m.init(jax.random.key(0), x, train=False)
+    assert m.supports_planes(x.shape)
+
+    def loss_std(p):
+        out, _ = m.apply({"params": p, "batch_stats": v["batch_stats"]},
+                         x, train=True, mutable=["batch_stats"])
+        return dice_bce_mc_loss(out, y, 3)
+
+    def loss_planes(p):
+        planes, _ = m.apply({"params": p, "batch_stats": v["batch_stats"]},
+                            x, train=True, planes=True,
+                            mutable=["batch_stats"])
+        assert planes.shape == (6, 2, 32, 16)
+        return dice_bce_mc_planes_folded(planes, y, 3)
+
+    l0, g0 = jax.value_and_grad(loss_std)(v["params"])
+    l1, g1 = jax.value_and_grad(loss_planes)(v["params"])
+    # equal up to f32 summation order (pixels regrouped by W-parity)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for (_, a), (_, b) in zip(jtu.tree_leaves_with_path(g0),
+                              jtu.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_planes_head_train_step_equivalence(rng):
+    """make_single_steps(fused_head=True) takes the planes path and produces
+    the same loss/params as the standard step; on a non-divisible size it
+    falls back to the standard path."""
+    from unet_torch_tpu.models.unet import UNet
+    from unet_torch_tpu.train.optim import make_optimizer
+    from unet_torch_tpu.train.state import TrainState
+    from unet_torch_tpu.train.steps import make_single_steps
+
+    x = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 3, (2, 32, 32)), jnp.float32)
+    m = UNet(3, 3, 8, fold=True)
+    tx = make_optimizer("Adam", 1e-3, 0.0)
+    v = m.init(jax.random.key(0), x, train=False)
+
+    def run(fused):
+        vv = jax.tree.map(jnp.array, v)  # donation-safe fresh buffers
+        st = TrainState.create(vv["params"], vv.get("batch_stats", {}), tx)
+        step, _ = make_single_steps(m, tx, "dice_bce_mc", "dice_bce_mc", 3,
+                                    fused_head=fused)
+        st, loss = step(st, x, y, 1e-3, jax.random.key(1))
+        return float(loss), st
+
+    l0, st0 = run(False)
+    l1, st1 = run(True)
+    np.testing.assert_allclose(l0, l1, rtol=1e-5)
+    for (_, a), (_, b) in zip(jtu.tree_leaves_with_path(st0.params),
+                              jtu.tree_leaves_with_path(st1.params)):
+        # Adam's first-step update is ~±lr even for tiny grads, so f32
+        # summation-order noise on near-zero grads shows up at ~5e-4 rel on
+        # isolated elements; a wrong plane mapping would diverge at ~2*lr
+        # across whole tensors.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-6)
+
+    # odd size: planes unsupported, fused step must fall back and still run
+    x_odd = jnp.asarray(rng.randn(2, 24, 24, 3), jnp.float32)
+    y_odd = jnp.asarray(rng.randint(0, 3, (2, 24, 24)), jnp.float32)
+    assert not m.supports_planes(x_odd.shape)
+    vv = jax.tree.map(jnp.array, v)
+    st = TrainState.create(vv["params"], vv.get("batch_stats", {}), tx)
+    step, _ = make_single_steps(m, tx, "dice_bce_mc", "dice_bce_mc", 3,
+                                fused_head=True)
+    st, loss = step(st, x_odd, y_odd, 1e-3, jax.random.key(1))
+    assert np.isfinite(float(loss))

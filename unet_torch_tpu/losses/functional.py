@@ -194,6 +194,49 @@ def _dice_bce_mc_planes(pred, target, num_classes, bce_weight):
     return bce_weight * ce + (1.0 - bce_weight) * dice / num_classes
 
 
+def dice_bce_mc_planes_folded(planes, target, num_classes,
+                              bce_weight: float = 0.5):
+    """dice_bce_mc evaluated on W-folded class planes — the fused-head form.
+
+    ``planes``: (2C, B, H, W/2) from FoldedOutConv(planes=True); plane
+    n = s*C + c holds class-c logits at W-parity s (nn/folded.fold lane
+    order).  ``target``: (B, H, W) class indices.  CE and soft dice are sums
+    over pixels, so regrouping pixels by W-parity leaves the value identical
+    to dice_bce_mc_loss(unfolded_logits, target) up to summation order; the
+    (B,H,W,C) logits tensor (C-minor, 128/C-padded on TPU) never exists in
+    forward or backward."""
+    c = num_classes
+    y = target.astype(jnp.int32)
+    ys = [y[:, :, 0::2], y[:, :, 1::2]]            # per-parity targets
+    ce_sum = 0.0
+    n_pix = 0
+    smooth = 1e-5
+    inter = [0.0] * c
+    psum = [0.0] * c
+    tsum = [0.0] * c
+    for s in range(2):
+        z = [planes[s * c + i].astype(jnp.float32) for i in range(c)]
+        m = z[0]
+        for zc in z[1:]:
+            m = jnp.maximum(m, zc)
+        e = [jnp.exp(zc - m) for zc in z]
+        se = sum(e)
+        z_y = sum(jnp.where(ys[s] == i, zc, 0.0) for i, zc in enumerate(z))
+        ce_sum = ce_sum + jnp.sum(jnp.log(se) + m - z_y)
+        n_pix += z[0].size
+        for i in range(c):
+            p = e[i] / se
+            t = (ys[s] == i).astype(p.dtype)
+            inter[i] = inter[i] + jnp.sum(p * t)
+            psum[i] = psum[i] + jnp.sum(p * p)
+            tsum[i] = tsum[i] + jnp.sum(t)
+    ce = ce_sum / n_pix
+    dice = 0.0
+    for i in range(c):
+        dice += 1.0 - (2.0 * inter[i] + smooth) / (psum[i] + tsum[i] + smooth)
+    return bce_weight * ce + (1.0 - bce_weight) * dice / c
+
+
 def dice_bce_mc_loss(pred, target, num_classes, bce_weight: float = 0.5):
     """dice_bce_mc (loss.py:488-500): 0.5*CE + 0.5*DiceLoss(softmax) — flagship."""
     if pred.ndim == 4 and pred.shape[-1] == num_classes and num_classes <= 8:

@@ -86,7 +86,7 @@ class UNetDecoder(nn.Module):
     fold: bool = False
 
     @nn.compact
-    def __call__(self, feats, *, train: bool):
+    def __call__(self, feats, *, train: bool, planes: bool = False):
         up_cls = nn.remat(Up, static_argnums=(3,)) if self.remat else Up
         x1, x2, x3, x4, x5 = feats
         x = up_cls(self.base * 8, self.dropout, self.dropout_p,
@@ -101,7 +101,7 @@ class UNetDecoder(nn.Module):
             x = FoldedUp(self.base, self.dropout, self.dropout_p,
                          dtype=self.dtype, name="up4")(x, x1, train)
             return _FoldedOutConvWrap(self.n_classes, self.base,
-                                      dtype=self.dtype, name="outc")(x)
+                                      dtype=self.dtype, name="outc")(x, planes)
         x = up_cls(self.base, self.dropout, self.dropout_p,
                    dtype=self.dtype, name="up4")(x, x1, train)
         return OutConv(self.n_classes, dtype=self.dtype, name="outc")(x)
@@ -119,20 +119,30 @@ class UNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fold: bool = False
 
+    def supports_planes(self, x_shape) -> bool:
+        """True when __call__(planes=True) would emit folded class planes
+        for this input shape (the fused-head path in train/steps.py must
+        mirror the trace-time fold decision below)."""
+        return (self.fold and not self.remat
+                and x_shape[1] % 16 == 0 and x_shape[2] % 16 == 0)
+
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False, planes: bool = False):
         # W-folding needs every pyramid level even (H, W divisible by 16) and
         # is not composed with remat; param trees are identical either way, so
-        # the fallback branch shares the same checkpoint.
-        fold = (self.fold and not self.remat
-                and x.shape[1] % 16 == 0 and x.shape[2] % 16 == 0)
+        # the fallback branch shares the same checkpoint.  planes=True (only
+        # meaningful when folding is active) returns (2*n_classes, B, H, W/2)
+        # class planes instead of (B,H,W,n_classes) logits — see
+        # nn/folded.py::FoldedOutConv.
+        fold = self.supports_planes(x.shape)
         feats = UNetEncoder(self.base, self.dropout, self.dropout_p, self.remat,
                             dtype=self.dtype, fold=fold,
                             name="encoder")(x, train=train)
         return UNetDecoder(self.base, self.n_classes, self.dropout,
                            self.dropout_p, remat=self.remat,
                            dtype=self.dtype, fold=fold,
-                           name="decoder")(feats, train=train)
+                           name="decoder")(feats, train=train,
+                                           planes=fold and planes)
 
 
 class UNetMultitask(nn.Module):

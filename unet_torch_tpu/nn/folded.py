@@ -273,18 +273,38 @@ class FoldedUp(nn.Module):
 
 class FoldedOutConv(nn.Module):
     """1x1 conv head on a folded input; returns UNFOLDED logits.  Param tree
-    == OutConv (Conv_0: kernel (1,1,Ci,n), bias)."""
+    == OutConv (Conv_0: kernel (1,1,Ci,n), bias).
+
+    ``planes=True`` (fused planes head): never materialise the (B,H,W,C)
+    logits tensor.  With C of 2-3 classes XLA lays that tensor out C-minor
+    (conv outputs are feature-minor on TPU), padding C to the 128-lane tile —
+    the forward write, the loss's read and the backward dlogits round trip
+    each pay ~128/C x their useful bytes.  Instead contract the folded
+    features straight into 2C rank-3 (B,H,W/2) planes (minor dim W/2, full
+    lanes); plane n = s*C + c holds class c at W-parity s (nn/folded.fold's
+    s-major lane order).  Consumed by
+    losses.functional.dice_bce_mc_planes_folded."""
 
     features: int
     in_features: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xf):
+    def __call__(self, xf, planes: bool = False):
         k = self.param("kernel", kaiming_normal,
                        (1, 1, self.in_features, self.features))
         bias = self.param("bias", torch_uniform_init(self.in_features),
                           (self.features,))
+        if planes:
+            kk = k[0, 0].astype(self.dtype)          # (Ci, C)
+            z = jnp.zeros_like(kk)
+            # (2Ci, 2C) block-diagonal: lane s*Ci+ci -> plane s*C+c
+            k2 = jnp.concatenate([
+                jnp.concatenate([kk, z], axis=-1),
+                jnp.concatenate([z, kk], axis=-1)], axis=0)
+            p = jnp.einsum("nk,bhwk->nbhw", k2.T, xf.astype(self.dtype))
+            b2 = jnp.concatenate([bias, bias]).astype(self.dtype)
+            return p + b2[:, None, None, None]
         b, h, w2, _ = xf.shape
         xr = xf.astype(self.dtype).reshape(b, h, w2, 2, self.in_features)
         y = jnp.einsum("bhwsc,co->bhwso", xr, k[0, 0].astype(self.dtype))
@@ -300,9 +320,9 @@ class _FoldedOutConvWrap(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xf):
+    def __call__(self, xf, planes: bool = False):
         return FoldedOutConv(self.features, self.in_features,
-                             dtype=self.dtype, name="Conv_0")(xf)
+                             dtype=self.dtype, name="Conv_0")(xf, planes)
 
 
 # ---------------------------------------------------------------------------

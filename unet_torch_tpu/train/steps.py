@@ -2,7 +2,7 @@
 
 Each factory closes over the model and optimizer and returns pure functions
 ``(state, batch, lr, rng) -> (state, metrics)`` compiled once by XLA.  This is the
-TPU-native replacement for the reference's五 Python batch loops
+TPU-native replacement for the reference's five Python batch loops
 (/root/reference/Trainer.py:113-129 dispatch): forward, loss, backward, optimizer
 update, poly-LR injection and BatchNorm stat update all fuse into one program;
 the only host work per step is feeding the next batch.
@@ -47,19 +47,47 @@ def _apply(model, params, batch_stats, x, *, train: bool, rng=None):
 
 
 def make_single_steps(model, tx, loss_type: str, accuracy_metric: str,
-                      num_classes: int, relu_output: bool = False):
+                      num_classes: int, relu_output: bool = False,
+                      fused_head: bool = False):
     """Steps for the `singe_train` loop (Trainer.py:663-829): one output head,
     config-string loss; `regression`/`regression_t` apply ReLU to the logits
-    (Trainer.py:709-710)."""
+    (Trainer.py:709-710).
+
+    ``fused_head=True``: on W-folded UNets with the dice_bce_mc loss, the
+    train step asks the model for folded class planes (planes=True) and
+    evaluates the loss in plane form — the C-minor (B,H,W,C) logits tensor
+    (padded 128/C x on TPU) never exists in the train forward/backward.
+    Value-equivalent to the standard path up to summation order
+    (tests/test_folded.py); eval keeps standard logits (it returns them)."""
 
     def loss_fn(out, y, loss_name):
         if relu_output:
             out = jax.nn.relu(out)
         return calc_loss(out, y, loss_type=loss_name, num_classes=num_classes)
 
+    def _planes_ok(x):
+        # must mirror the model's trace-time fold decision exactly
+        return (fused_head and loss_type == "dice_bce_mc"
+                and not relu_output and num_classes <= 8
+                and getattr(model, "n_classes", None) == num_classes
+                and hasattr(model, "supports_planes")
+                and model.supports_planes(x.shape))
+
     @functools.partial(jax.jit, donate_argnums=0)
     def train_step(state: TrainState, x, y, lr, rng):
+        from unet_torch_tpu.losses.functional import dice_bce_mc_planes_folded
+
+        use_planes = _planes_ok(x)  # static: x.shape is trace-time
+
         def objective(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            if use_planes:
+                planes, mut = model.apply(variables, x, train=True,
+                                          planes=True,
+                                          mutable=["batch_stats"],
+                                          rngs={"dropout": rng})
+                return (dice_bce_mc_planes_folded(planes, y, num_classes),
+                        mut["batch_stats"])
             out, bs = _apply(model, params, state.batch_stats, x, train=True,
                              rng=rng)
             return loss_fn(out, y, loss_type), bs
