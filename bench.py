@@ -278,7 +278,7 @@ def _run_tpu_steps(train_fn, state, args, steps):
 
 
 def _make_unet_state(batch, dtype, base=64, remat=False, n_classes=N_CLASSES,
-                     loss="CE"):
+                     loss="CE", fused_head=False):
     import numpy as np
 
     import jax
@@ -299,16 +299,18 @@ def _make_unet_state(batch, dtype, base=64, remat=False, n_classes=N_CLASSES,
     variables = model.init(jax.random.key(0), x[:1], train=False)
     state = TrainState.create(variables["params"],
                               variables.get("batch_stats", {}), tx)
-    step, _ = make_single_steps(model, tx, loss, loss, n_classes)
+    step, _ = make_single_steps(model, tx, loss, loss, n_classes,
+                                fused_head=fused_head)
     return step, state, (x, y, 1e-3, jax.random.key(1))
 
 
 def tpu_unet(batch=16, dtype_name="bfloat16", remat=False, loss="CE",
-             steps=20):
+             steps=20, fused_head=False):
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
-    step, state, args = _make_unet_state(batch, dtype, remat=remat, loss=loss)
+    step, state, args = _make_unet_state(batch, dtype, remat=remat, loss=loss,
+                                         fused_head=fused_head)
     dt = _run_tpu_steps(step, state, args, steps)
     return steps * batch / dt
 
@@ -542,6 +544,11 @@ CONFIGS = [
      lambda: tpu_unet(32, "bfloat16", remat=True, steps=10), "unet_ce"),
     ("unet64_512px_bf16_b16_dice_bce_mc",
      lambda: tpu_unet(16, "bfloat16", loss="dice_bce_mc", steps=10),
+     "unet_mc"),
+    # fused planes head A/B (dice_bce_mc without the C-minor logits tensor)
+    ("unet64_512px_bf16_b16_dice_bce_mc_fusedhead",
+     lambda: tpu_unet(16, "bfloat16", loss="dice_bce_mc", steps=10,
+                      fused_head=True),
      "unet_mc"),
     ("multitask_unet64_512px_bf16_b8", tpu_multitask, "multitask"),
     ("transunet_r50vitb16_512px_bf16_b8", tpu_transunet, "transunet"),

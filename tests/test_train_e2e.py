@@ -143,3 +143,24 @@ def test_resume_from_checkpoint(dataset_root, tmp_path):
     tr = trainers[7]
     # started at epoch 2 of 3 -> two epochs ran
     assert len(tr.train_loss_list) == 2
+
+
+def test_train_fused_head_e2e(dataset_root, tmp_path):
+    """`model_config.fused_head: true` trains through the CLI: the jit'd step
+    takes the folded class-planes path (64² is fold-eligible) and the run
+    still produces finite, decreasing-ish losses and the checkpoint
+    artifacts.  Step-level value equivalence with the standard path is
+    test_folded.py's job."""
+    from unet_torch_tpu.cli.config import Config
+    from unet_torch_tpu.cli.train_cli import run_training
+
+    save_dir = str(tmp_path / "run_fh")
+    raw = _base_cfg(dataset_root, save_dir, epochs=1)
+    raw["model_config"]["fused_head"] = True
+    raw["dataset_config"]["test_path"] = []  # skip eval suite: train only
+    trainers, _ = run_training(Config.from_dict(raw))
+    tr = trainers[7]
+    assert tr.fused_head is True
+    assert np.isfinite(tr.train_loss_list).all()
+    assert os.path.exists(os.path.join(save_dir, "run_fh_seed7", "models",
+                                       "last_epoch.pt"))

@@ -50,6 +50,14 @@ class ModelConfig:
     # so runs are statistically — not bit — identical to fold=False; set
     # `model_config.fold: false` for bit-stable ablations (see PARITY.md).
     fold: bool = True
+    # TPU-specific: evaluate dice_bce_mc on W-folded class planes in the
+    # train step (losses.functional.dice_bce_mc_planes_folded) so the
+    # C-minor (B,H,W,C) logits tensor — padded 128/C-fold on TPU — never
+    # exists in the forward/backward.  Only active for single-head W-folded
+    # UNets with loss 'dice_bce_mc'; value-equivalent to the standard path
+    # up to summation order (tests/test_folded.py).  Opt-in until measured
+    # on the real chip.
+    fused_head: bool = False
 
 
 @dataclasses.dataclass
@@ -122,6 +130,7 @@ class Config:
             anydepth=bool(m.get("anydepth", False)),
             remat=bool(m.get("remat", False)),
             fold=bool(m.get("fold", True)),
+            fused_head=bool(m.get("fused_head", False)),
         )
         seeds = t.get("seed", [0])
         if not isinstance(seeds, (list, tuple)):

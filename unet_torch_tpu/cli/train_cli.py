@@ -208,7 +208,7 @@ def run_training(cfg: Config):
             num_classes=cfg.model.num_class,
             lr_scheduler=cfg.train.adaptive_lr,
             start_epoch=cfg.resume.epoch if cfg.resume.flag else 1,
-            seed=seed)
+            seed=seed, fused_head=cfg.model.fused_head)
         if cfg.model.model_type == "CLTR":
             trainer.criterion = getattr(build_datasets_and_model,
                                         "last_cltr_criterion", None)

@@ -60,7 +60,8 @@ class Trainer:
     def __init__(self, model, model_type, mesh, output_save_dir, dataloaders,
                  batch_size, optimizer_name, lr_rate, weight_decay, patience,
                  num_epochs, loss_function, accuracy_metric, num_classes,
-                 lr_scheduler=None, start_epoch=1, seed=0, relu_output=None):
+                 lr_scheduler=None, start_epoch=1, seed=0, relu_output=None,
+                 fused_head=False):
         self.model = model
         self.model_type = model_type
         self.mesh = mesh
@@ -81,6 +82,7 @@ class Trainer:
         if relu_output is None:
             relu_output = model_type in ("regression", "regression_t")
         self.relu_output = relu_output
+        self.fused_head = fused_head
 
         self.iter_num = 0
         self.max_iterations = num_epochs * max(1, len(dataloaders["train"]))
@@ -253,7 +255,8 @@ class Trainer:
         self._lr = self.base_lr
         train_step, eval_step = make_single_steps(
             self.model, tx, self.loss_function, self.accuracy_metric,
-            self.num_classes, relu_output=self.relu_output)
+            self.num_classes, relu_output=self.relu_output,
+            fused_head=self.fused_head)
 
         totaltime = 0.0
         for epoch in range(self.start_epoch, self.num_epochs + 1):
