@@ -85,3 +85,26 @@ def test_class_argmax_matches_jnp_argmax():
         want = np.argmax(x, axis=-1)
         assert got.dtype == np.int32
         np.testing.assert_array_equal(got, want)
+
+
+def test_shipped_example_configs_parse():
+    """configs/*.yml (the reference ships config.yml/configseros.yml; these
+    are our annotated equivalents) must parse through Config.from_dict and
+    carry a dispatchable model_type."""
+    import glob
+    import os
+
+    import yaml
+
+    from unet_torch_tpu.cli.config import Config
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    paths = sorted(glob.glob(os.path.join(root, "*.yml")))
+    assert len(paths) >= 5
+    known = {"single", "attention", "TransUnet", "regression",
+             "regression_t", "multi_task", "multi_task_reg",
+             "multi_task_regTU", "CLTR"}
+    for p in paths:
+        cfg = Config.from_dict(yaml.safe_load(open(p)))
+        assert cfg.model.model_type in known, p
+        assert cfg.train.batch_size >= 1, p
