@@ -315,7 +315,7 @@ def tpu_unet(batch=16, dtype_name="bfloat16", remat=False, loss="CE",
     return steps * batch / dt
 
 
-def _make_multitask_state(batch):
+def _make_multitask_state(batch, fused_head=False):
     import numpy as np
 
     import jax
@@ -335,7 +335,8 @@ def _make_multitask_state(batch):
     variables = model.init(jax.random.key(0), x[:1], train=False)
     state = TrainState.create(variables["params"],
                               variables.get("batch_stats", {}), tx)
-    step, _ = make_multitask_steps(model, tx, "mse", 1, combine="sum")
+    step, _ = make_multitask_steps(model, tx, "mse", 1, combine="sum",
+                                   fused_head=fused_head)
     key = jax.random.key(1)
     no_ratio = jnp.asarray(False)
 
@@ -346,8 +347,8 @@ def _make_multitask_state(batch):
     return fn, state, (x, y1, y2, 1e-3, key, no_ratio)
 
 
-def tpu_multitask(batch=8, steps=10):
-    fn, state, args = _make_multitask_state(batch)
+def tpu_multitask(batch=8, steps=10, fused_head=False):
+    fn, state, args = _make_multitask_state(batch, fused_head=fused_head)
     dt = _run_tpu_steps(fn, state, args, steps)
     return steps * batch / dt
 
@@ -551,6 +552,9 @@ CONFIGS = [
                       fused_head=True),
      "unet_mc"),
     ("multitask_unet64_512px_bf16_b8", tpu_multitask, "multitask"),
+    # fused planes heads A/B: both (B,512,512,1) head tensors never exist
+    ("multitask_unet64_512px_bf16_b8_fusedhead",
+     lambda: tpu_multitask(fused_head=True), "multitask"),
     ("transunet_r50vitb16_512px_bf16_b8", tpu_transunet, "transunet"),
     # b16 became the knee once the Pallas auction removed the matcher wall
     # (b8 126.4 / b16 127.2 / b32 117.5 img/s)

@@ -352,3 +352,71 @@ def test_planes_head_train_step_equivalence(rng):
                                 fused_head=True)
     st, loss = step(st, x_odd, y_odd, 1e-3, jax.random.key(1))
     assert np.isfinite(float(loss))
+
+
+def test_planes_head_mse_single_equivalence(rng):
+    """fused_head on the C=1 regression path (mse + ReLU): one train step
+    matches the standard path."""
+    from unet_torch_tpu.models.unet import UNet
+    from unet_torch_tpu.train.optim import make_optimizer
+    from unet_torch_tpu.train.state import TrainState
+    from unet_torch_tpu.train.steps import make_single_steps
+
+    x = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    y = jnp.asarray(np.abs(rng.randn(2, 32, 32)), jnp.float32)
+    m = UNet(3, 1, 8, fold=True)
+    tx = make_optimizer("SGD", 1e-3, 0.0)
+    v = m.init(jax.random.key(0), x, train=False)
+
+    def run(fused):
+        vv = jax.tree.map(jnp.array, v)
+        st = TrainState.create(vv["params"], vv.get("batch_stats", {}), tx)
+        step, _ = make_single_steps(m, tx, "mse", "mse", 1, relu_output=True,
+                                    fused_head=fused)
+        st, loss = step(st, x, y, 1e-3, jax.random.key(1))
+        return float(loss), st
+
+    l0, st0 = run(False)
+    l1, st1 = run(True)
+    np.testing.assert_allclose(l0, l1, rtol=1e-5)
+    for (_, a), (_, b) in zip(jtu.tree_leaves_with_path(st0.params),
+                              jtu.tree_leaves_with_path(st1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-6)
+
+
+@pytest.mark.parametrize("combine", ["sum", "uncertainty", "ratio"])
+def test_planes_head_multitask_equivalence(rng, combine):
+    """fused_head on the two-head mse loops: one train step (incl. the ratio
+    combine's per-image count sums computed in plane form) matches the
+    standard path for every combine mode."""
+    from unet_torch_tpu.models.unet import UNetMultitask
+    from unet_torch_tpu.train.optim import make_optimizer
+    from unet_torch_tpu.train.state import TrainState
+    from unet_torch_tpu.train.steps import make_multitask_steps
+
+    x = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    y1 = jnp.asarray(np.abs(rng.randn(2, 32, 32)), jnp.float32)
+    y2 = jnp.asarray(np.abs(rng.randn(2, 32, 32)), jnp.float32)
+    m = UNetMultitask(3, 1, 8, fold=True)
+    tx = make_optimizer("SGD", 1e-3, 0.0)
+    v = m.init(jax.random.key(0), x, train=False)
+
+    def run(fused):
+        vv = jax.tree.map(jnp.array, v)
+        params = (dict(model=vv["params"], log_vars=jnp.zeros(2))
+                  if combine == "uncertainty" else vv["params"])
+        st = TrainState.create(params, vv.get("batch_stats", {}), tx)
+        step, _ = make_multitask_steps(m, tx, "mse", 1, combine=combine,
+                                       fused_head=fused)
+        st, loss, l1, l2 = step(st, x, y1, y2, 1e-3, jax.random.key(1),
+                                jnp.asarray(True))
+        return float(loss), float(l1), float(l2), st
+
+    r0 = run(False)
+    r1 = run(True)
+    np.testing.assert_allclose(r0[:3], r1[:3], rtol=1e-5)
+    for (_, a), (_, b) in zip(jtu.tree_leaves_with_path(r0[3].params),
+                              jtu.tree_leaves_with_path(r1[3].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-6)

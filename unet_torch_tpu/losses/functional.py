@@ -237,6 +237,25 @@ def dice_bce_mc_planes_folded(planes, target, num_classes,
     return bce_weight * ce + (1.0 - bce_weight) * dice / c
 
 
+def mse_planes_folded(planes, target, relu: bool = False):
+    """mse (loss.py:473-475; optionally post-ReLU, Trainer.py:709-710,
+    881-883) on W-folded single-channel planes — the fused-head form for
+    regression/density heads.
+
+    ``planes``: (2, B, H, W/2) from FoldedOutConv(planes=True) with C=1;
+    plane s holds the head's logits at W-parity s.  ``target``: (B, H, W)
+    or (B, H, W, 1).  A C=1 conv output is laid out feature-minor on TPU
+    and padded to the full 128-lane tile; evaluating the loss in plane form
+    keeps W/2 in the lanes so that tensor never exists."""
+    if target.ndim == 4:
+        target = target[..., 0]
+    z = planes.astype(jnp.float32)
+    if relu:
+        z = jax.nn.relu(z)
+    ts = jnp.stack([target[:, :, 0::2], target[:, :, 1::2]], 0)
+    return jnp.mean((z - ts.astype(jnp.float32)) ** 2)
+
+
 def dice_bce_mc_loss(pred, target, num_classes, bce_weight: float = 0.5):
     """dice_bce_mc (loss.py:488-500): 0.5*CE + 0.5*DiceLoss(softmax) — flagship."""
     if pred.ndim == 4 and pred.shape[-1] == num_classes and num_classes <= 8:

@@ -156,15 +156,22 @@ class UNetMultitask(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fold: bool = False
 
+    def supports_planes(self, x_shape) -> bool:
+        """True when __call__(planes=True) emits folded class planes per head
+        for this input shape (mirrors the trace-time fold decision below)."""
+        return self.fold and x_shape[1] % 16 == 0 and x_shape[2] % 16 == 0
+
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
-        fold = (self.fold and x.shape[1] % 16 == 0 and x.shape[2] % 16 == 0)
+    def __call__(self, x, *, train: bool = False, planes: bool = False):
+        fold = self.supports_planes(x.shape)
         feats = UNetEncoder(self.base, dtype=self.dtype, fold=fold,
                             name="encoder")(x, train=train)
         out1 = UNetDecoder(self.base, self.n_classes, dtype=self.dtype,
-                           fold=fold, name="decoder1")(feats, train=train)
+                           fold=fold, name="decoder1")(feats, train=train,
+                                                       planes=fold and planes)
         out2 = UNetDecoder(self.base, self.n_classes, dtype=self.dtype,
-                           fold=fold, name="decoder2")(feats, train=train)
+                           fold=fold, name="decoder2")(feats, train=train,
+                                                       planes=fold and planes)
         return out1, out2
 
 

@@ -53,12 +53,14 @@ def make_single_steps(model, tx, loss_type: str, accuracy_metric: str,
     config-string loss; `regression`/`regression_t` apply ReLU to the logits
     (Trainer.py:709-710).
 
-    ``fused_head=True``: on W-folded UNets with the dice_bce_mc loss, the
-    train step asks the model for folded class planes (planes=True) and
-    evaluates the loss in plane form — the C-minor (B,H,W,C) logits tensor
-    (padded 128/C x on TPU) never exists in the train forward/backward.
-    Value-equivalent to the standard path up to summation order
-    (tests/test_folded.py); eval keeps standard logits (it returns them)."""
+    ``fused_head=True``: on W-folded UNets, the train step asks the model for
+    folded class planes (planes=True) and evaluates the loss in plane form —
+    the C-minor (B,H,W,C) logits tensor (padded 128/C x on TPU) never exists
+    in the train forward/backward.  Covers ``dice_bce_mc`` (C<=8 class
+    planes) and the C=1 regression losses ``mse``/``rmse`` (ReLU commutes
+    into plane form).  Value-equivalent to the standard path up to summation
+    order (tests/test_folded.py); eval keeps standard logits (it returns
+    them)."""
 
     def loss_fn(out, y, loss_name):
         if relu_output:
@@ -67,16 +69,29 @@ def make_single_steps(model, tx, loss_type: str, accuracy_metric: str,
 
     def _planes_ok(x):
         # must mirror the model's trace-time fold decision exactly
-        return (fused_head and loss_type == "dice_bce_mc"
-                and not relu_output and num_classes <= 8
-                and getattr(model, "n_classes", None) == num_classes
-                and hasattr(model, "supports_planes")
-                and model.supports_planes(x.shape))
+        if not (fused_head and hasattr(model, "supports_planes")
+                and model.supports_planes(x.shape)):
+            return False
+        if loss_type == "dice_bce_mc":
+            return (not relu_output and num_classes <= 8
+                    and getattr(model, "n_classes", None) == num_classes)
+        if loss_type in ("mse", "rmse"):
+            return getattr(model, "n_classes", None) == 1
+        return False
+
+    def _planes_loss(planes, y):
+        from unet_torch_tpu.losses.functional import (
+            dice_bce_mc_planes_folded,
+            mse_planes_folded,
+        )
+
+        if loss_type == "dice_bce_mc":
+            return dice_bce_mc_planes_folded(planes, y, num_classes)
+        loss = mse_planes_folded(planes, y, relu=relu_output)
+        return jnp.sqrt(loss) if loss_type == "rmse" else loss
 
     @functools.partial(jax.jit, donate_argnums=0)
     def train_step(state: TrainState, x, y, lr, rng):
-        from unet_torch_tpu.losses.functional import dice_bce_mc_planes_folded
-
         use_planes = _planes_ok(x)  # static: x.shape is trace-time
 
         def objective(params):
@@ -86,8 +101,7 @@ def make_single_steps(model, tx, loss_type: str, accuracy_metric: str,
                                           planes=True,
                                           mutable=["batch_stats"],
                                           rngs={"dropout": rng})
-                return (dice_bce_mc_planes_folded(planes, y, num_classes),
-                        mut["batch_stats"])
+                return _planes_loss(planes, y), mut["batch_stats"]
             out, bs = _apply(model, params, state.batch_stats, x, train=True,
                              rng=rng)
             return loss_fn(out, y, loss_type), bs
@@ -111,7 +125,7 @@ def make_single_steps(model, tx, loss_type: str, accuracy_metric: str,
 
 
 def make_multitask_steps(model, tx, loss_type: str, num_classes: int,
-                         combine: str = "sum"):
+                         combine: str = "sum", fused_head: bool = False):
     """Steps for the two-head loops (Trainer.py:831-992 sum, :994-1172
     uncertainty, :1174-1366 ratio).  Both heads pass through ReLU before the loss
     (Trainer.py:881-883); `uncertainty`/`ratio` fix the per-head loss to mse
@@ -120,6 +134,12 @@ def make_multitask_steps(model, tx, loss_type: str, num_classes: int,
     For `combine='uncertainty'`, `state.params` must be the joint pytree
     {'model': ..., 'log_vars': (2,)} — the learned log-variances ride the same
     optimizer, mirroring Trainer.py:1003-1009.
+
+    ``fused_head=True``: when the per-head loss is mse on C=1 W-folded heads,
+    the train step evaluates both heads' losses (and the ratio combine's
+    per-image count sums) on folded (2, B, H, W/2) planes — the two
+    feature-minor (B,H,W,1) head tensors (padded 128x on TPU) never exist in
+    the train forward/backward.  Eval keeps standard logits.
     """
     per_head_loss = loss_type if combine == "sum" else "mse"
 
@@ -128,9 +148,16 @@ def make_multitask_steps(model, tx, loss_type: str, num_classes: int,
         (o1, o2), bs = _apply(model, p, batch_stats, x, train=train, rng=rng)
         return jax.nn.relu(o1), jax.nn.relu(o2), bs
 
-    def combined(params, o1, o2, y1, y2, use_ratio):
-        l1 = calc_loss(o1, y1, loss_type=per_head_loss, num_classes=num_classes)
-        l2 = calc_loss(o2, y2, loss_type=per_head_loss, num_classes=num_classes)
+    def _planes_ok(x):
+        # must mirror the model's trace-time fold decision exactly
+        return (fused_head and per_head_loss == "mse"
+                and getattr(model, "n_classes", None) == 1
+                and hasattr(model, "supports_planes")
+                and model.supports_planes(x.shape))
+
+    def combined(params, l1, l2, sums, use_ratio):
+        """Combine per-head losses; ``sums`` = (c1_gt, c1_pr, c2_gt, c2_pr)
+        per-image count sums (only read by the ratio mode)."""
         if combine == "uncertainty":
             log_vars = params["log_vars"]
             stds = jnp.exp(log_vars) ** 0.5
@@ -140,10 +167,7 @@ def make_multitask_steps(model, tx, loss_type: str, num_classes: int,
         elif combine == "ratio":
             # Trainer.py:1235-1248 — after epoch 5 weight by the immune/other
             # count-ratio error.
-            c1_gt = jnp.sum(y1, axis=(1, 2))
-            c1_pr = jnp.sum(o1[..., 0], axis=(1, 2))
-            c2_gt = jnp.sum(y2, axis=(1, 2))
-            c2_pr = jnp.sum(o2[..., 0], axis=(1, 2))
+            c1_gt, c1_pr, c2_gt, c2_pr = sums
             ratio_gt = c1_gt / (c1_gt + c2_gt)
             ratio_pr = c1_pr / (c1_pr + c2_pr)
             ratio_acc = jnp.mean(jnp.abs(ratio_gt - ratio_pr))
@@ -153,11 +177,47 @@ def make_multitask_steps(model, tx, loss_type: str, num_classes: int,
             loss = l1 + l2
         return loss, (l1, l2)
 
+    def losses_std(o1, o2, y1, y2):
+        l1 = calc_loss(o1, y1, loss_type=per_head_loss,
+                       num_classes=num_classes)
+        l2 = calc_loss(o2, y2, loss_type=per_head_loss,
+                       num_classes=num_classes)
+        sums = (jnp.sum(y1, axis=(1, 2)), jnp.sum(o1[..., 0], axis=(1, 2)),
+                jnp.sum(y2, axis=(1, 2)), jnp.sum(o2[..., 0], axis=(1, 2)))
+        return l1, l2, sums
+
+    def losses_planes(p1, p2, y1, y2):
+        from unet_torch_tpu.losses.functional import mse_planes_folded
+
+        p1 = jax.nn.relu(p1)
+        p2 = jax.nn.relu(p2)
+        l1 = mse_planes_folded(p1, y1)
+        l2 = mse_planes_folded(p2, y2)
+        # per-image sums: plane dim 0, batch dim 1 — sum over (0, 2, 3)
+        sums = (jnp.sum(y1, axis=(1, 2)),
+                jnp.sum(p1.astype(jnp.float32), axis=(0, 2, 3)),
+                jnp.sum(y2, axis=(1, 2)),
+                jnp.sum(p2.astype(jnp.float32), axis=(0, 2, 3)))
+        return l1, l2, sums
+
     @functools.partial(jax.jit, donate_argnums=0)
     def train_step(state: TrainState, x, y1, y2, lr, rng, use_ratio):
+        use_planes = _planes_ok(x)  # static: x.shape is trace-time
+
         def objective(params):
+            if use_planes:
+                p = params["model"] if combine == "uncertainty" else params
+                variables = {"params": p, "batch_stats": state.batch_stats}
+                (p1, p2), mut = model.apply(variables, x, train=True,
+                                            planes=True,
+                                            mutable=["batch_stats"],
+                                            rngs={"dropout": rng})
+                l1, l2, sums = losses_planes(p1, p2, y1, y2)
+                loss, aux = combined(params, l1, l2, sums, use_ratio)
+                return loss, (mut["batch_stats"], aux)
             o1, o2, bs = heads(params, state.batch_stats, x, True, rng)
-            loss, aux = combined(params, o1, o2, y1, y2, use_ratio)
+            l1, l2, sums = losses_std(o1, o2, y1, y2)
+            loss, aux = combined(params, l1, l2, sums, use_ratio)
             return loss, (bs, aux)
 
         (loss, (bs, aux)), grads = jax.value_and_grad(
@@ -172,7 +232,8 @@ def make_multitask_steps(model, tx, loss_type: str, num_classes: int,
     @jax.jit
     def eval_step(state: TrainState, x, y1, y2, use_ratio):
         o1, o2, _ = heads(state.params, state.batch_stats, x, False)
-        loss, (l1, l2) = combined(state.params, o1, o2, y1, y2, use_ratio)
+        l1, l2, sums = losses_std(o1, o2, y1, y2)
+        loss, (l1, l2) = combined(state.params, l1, l2, sums, use_ratio)
         return loss, l1, l2, o1, o2
 
     return train_step, eval_step

@@ -427,7 +427,7 @@ class Trainer:
         self.base_lr = lr
         train_step, eval_step = make_multitask_steps(
             self.model, tx, self.loss_function, self.num_classes,
-            combine=combine)
+            combine=combine, fused_head=self.fused_head)
         plateau = (ReduceLROnPlateau(lr) if combine == "ratio"
                    and not self.adaptive_lr else None)
 
