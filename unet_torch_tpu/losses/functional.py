@@ -237,6 +237,39 @@ def dice_bce_mc_planes_folded(planes, target, num_classes,
     return bce_weight * ce + (1.0 - bce_weight) * dice / c
 
 
+def dice_bce_planes_folded(planes, target, bce_weight: float = 0.5,
+                           smooth: float = 1.0):
+    """dice_bce (loss.py:484-487) on W-folded single-channel planes — the
+    fused-head form for binary heads.
+
+    ``planes``: (2, B, H, W/2) from FoldedOutConv(planes=True) with C=1.
+    BCE is a mean over pixels and BinaryDiceLoss reduces per sample, so
+    regrouping pixels by W-parity (plane dim 0 + spatial dims per sample)
+    reproduces dice_bce_loss(unfolded_logits, target) exactly up to
+    summation order; the feature-minor (B,H,W,1) logits tensor never
+    exists in forward or backward."""
+    if target.ndim == 4:
+        target = target[..., 0]
+    z = planes.astype(jnp.float32)
+    t = jnp.stack([target[:, :, 0::2], target[:, :, 1::2]], 0)
+    t = t.astype(jnp.float32)
+    bce = jnp.mean(sigmoid_bce_with_logits(z, t))
+    p = jax.nn.sigmoid(z)
+    num = 2.0 * jnp.sum(p * t, axis=(0, 2, 3)) + smooth
+    den = jnp.sum(jnp.abs(p) + jnp.abs(t), axis=(0, 2, 3)) + smooth
+    dice = jnp.mean(1.0 - num / den)
+    return bce_weight * bce + (1.0 - bce_weight) * dice
+
+
+def bce_planes_folded(planes, target):
+    """BCEWithLogits (loss.py:443-444) on W-folded single-channel planes."""
+    if target.ndim == 4:
+        target = target[..., 0]
+    z = planes.astype(jnp.float32)
+    t = jnp.stack([target[:, :, 0::2], target[:, :, 1::2]], 0)
+    return jnp.mean(sigmoid_bce_with_logits(z, t.astype(jnp.float32)))
+
+
 def mse_planes_folded(planes, target, relu: bool = False):
     """mse (loss.py:473-475; optionally post-ReLU, Trainer.py:709-710,
     881-883) on W-folded single-channel planes — the fused-head form for

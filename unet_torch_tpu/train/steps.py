@@ -77,16 +77,25 @@ def make_single_steps(model, tx, loss_type: str, accuracy_metric: str,
                     and getattr(model, "n_classes", None) == num_classes)
         if loss_type in ("mse", "rmse"):
             return getattr(model, "n_classes", None) == 1
+        if loss_type in ("dice_bce", "BCE"):
+            return (not relu_output
+                    and getattr(model, "n_classes", None) == 1)
         return False
 
     def _planes_loss(planes, y):
         from unet_torch_tpu.losses.functional import (
+            bce_planes_folded,
             dice_bce_mc_planes_folded,
+            dice_bce_planes_folded,
             mse_planes_folded,
         )
 
         if loss_type == "dice_bce_mc":
             return dice_bce_mc_planes_folded(planes, y, num_classes)
+        if loss_type == "dice_bce":
+            return dice_bce_planes_folded(planes, y)
+        if loss_type == "BCE":
+            return bce_planes_folded(planes, y)
         loss = mse_planes_folded(planes, y, relu=relu_output)
         return jnp.sqrt(loss) if loss_type == "rmse" else loss
 
