@@ -539,6 +539,9 @@ def tpu_topo(batch=8, steps=10):
 CONFIGS = [
     # (name, tpu_fn, baseline_key, unit)
     ("unet64_512px_bf16_b16", lambda: tpu_unet(16, "bfloat16"), "unet_ce"),
+    # fused planes head A/B on the headline CE config
+    ("unet64_512px_bf16_b16_fusedhead",
+     lambda: tpu_unet(16, "bfloat16", fused_head=True), "unet_ce"),
     ("unet64_512px_f32_b8", lambda: tpu_unet(8, "float32", steps=10),
      "unet_ce"),
     ("unet64_512px_bf16_b32_remat",

@@ -451,3 +451,35 @@ def test_planes_head_binary_equivalence(rng, loss):
                               jtu.tree_leaves_with_path(st1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=5e-6)
+
+
+@pytest.mark.parametrize("n_classes", [2, 3])
+def test_planes_head_ce_equivalence(rng, n_classes):
+    """fused_head on the CE loss (the headline bench config): one SGD train
+    step matches the standard path, including the C=2 margin fast path."""
+    from unet_torch_tpu.models.unet import UNet
+    from unet_torch_tpu.train.optim import make_optimizer
+    from unet_torch_tpu.train.state import TrainState
+    from unet_torch_tpu.train.steps import make_single_steps
+
+    x = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    y = jnp.asarray(rng.randint(0, n_classes, (2, 32, 32)), jnp.float32)
+    m = UNet(3, n_classes, 8, fold=True)
+    tx = make_optimizer("SGD", 1e-3, 0.0)
+    v = m.init(jax.random.key(0), x, train=False)
+
+    def run(fused):
+        vv = jax.tree.map(jnp.array, v)
+        st = TrainState.create(vv["params"], vv.get("batch_stats", {}), tx)
+        step, _ = make_single_steps(m, tx, "CE", "CE", n_classes,
+                                    fused_head=fused)
+        st, lv = step(st, x, y, 1e-3, jax.random.key(1))
+        return float(lv), st
+
+    l0, st0 = run(False)
+    l1, st1 = run(True)
+    np.testing.assert_allclose(l0, l1, rtol=1e-5)
+    for (_, a), (_, b) in zip(jtu.tree_leaves_with_path(st0.params),
+                              jtu.tree_leaves_with_path(st1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-6)

@@ -237,6 +237,40 @@ def dice_bce_mc_planes_folded(planes, target, num_classes,
     return bce_weight * ce + (1.0 - bce_weight) * dice / c
 
 
+def ce_planes_folded(planes, target, num_classes):
+    """softmax CE (torch nn.CrossEntropyLoss, mean) on W-folded class
+    planes — the fused-head form of softmax_cross_entropy.
+
+    ``planes``: (2C, B, H, W/2) from FoldedOutConv(planes=True); plane
+    n = s*C + c holds class-c logits at W-parity s.  ``target``: (B, H, W)
+    class indices.  CE is a mean over pixels, so regrouping by W-parity is
+    exact up to summation order; for C=2 each parity reduces to the logit
+    margin (softplus(t) - y*t), matching softmax_cross_entropy's binary
+    fast path."""
+    c = num_classes
+    y = target.astype(jnp.int32)
+    ys = [y[:, :, 0::2], y[:, :, 1::2]]
+    ce_sum = 0.0
+    n_pix = 0
+    for s in range(2):
+        z = [planes[s * c + i].astype(jnp.float32) for i in range(c)]
+        if c == 2:
+            t = z[1] - z[0]
+            yb = (ys[s] > 0).astype(t.dtype)
+            ce_sum = ce_sum + jnp.sum(jax.nn.softplus(t) - yb * t)
+        else:
+            m = z[0]
+            for zc in z[1:]:
+                m = jnp.maximum(m, zc)
+            e = [jnp.exp(zc - m) for zc in z]
+            se = sum(e)
+            z_y = sum(jnp.where(ys[s] == i, zc, 0.0)
+                      for i, zc in enumerate(z))
+            ce_sum = ce_sum + jnp.sum(jnp.log(se) + m - z_y)
+        n_pix += z[0].size
+    return ce_sum / n_pix
+
+
 def dice_bce_planes_folded(planes, target, bce_weight: float = 0.5,
                            smooth: float = 1.0):
     """dice_bce (loss.py:484-487) on W-folded single-channel planes — the

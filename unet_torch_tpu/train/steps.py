@@ -72,7 +72,7 @@ def make_single_steps(model, tx, loss_type: str, accuracy_metric: str,
         if not (fused_head and hasattr(model, "supports_planes")
                 and model.supports_planes(x.shape)):
             return False
-        if loss_type == "dice_bce_mc":
+        if loss_type in ("dice_bce_mc", "CE"):
             return (not relu_output and num_classes <= 8
                     and getattr(model, "n_classes", None) == num_classes)
         if loss_type in ("mse", "rmse"):
@@ -85,6 +85,7 @@ def make_single_steps(model, tx, loss_type: str, accuracy_metric: str,
     def _planes_loss(planes, y):
         from unet_torch_tpu.losses.functional import (
             bce_planes_folded,
+            ce_planes_folded,
             dice_bce_mc_planes_folded,
             dice_bce_planes_folded,
             mse_planes_folded,
@@ -92,6 +93,8 @@ def make_single_steps(model, tx, loss_type: str, accuracy_metric: str,
 
         if loss_type == "dice_bce_mc":
             return dice_bce_mc_planes_folded(planes, y, num_classes)
+        if loss_type == "CE":
+            return ce_planes_folded(planes, y, num_classes)
         if loss_type == "dice_bce":
             return dice_bce_planes_folded(planes, y)
         if loss_type == "BCE":
