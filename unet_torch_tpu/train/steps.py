@@ -252,7 +252,8 @@ def make_multitask_steps(model, tx, loss_type: str, num_classes: int,
 
 
 def make_topo_steps(model, tx, loss_type: str, num_classes: int,
-                    relu_output: bool = False, max_bars: int = 64):
+                    relu_output: bool = False, max_bars: int = 64,
+                    fused_head: bool = False):
     """Steps for `singe_train_wup` (Trainer.py:291-479): epochs <=5 train with
     dice_bce, afterwards with the topological loss against [labels, gt_dot]
     (the dot-map sum supplies the true component count k_gt).
@@ -261,6 +262,10 @@ def make_topo_steps(model, tx, loss_type: str, num_classes: int,
     the pairing union-find is inherently sequential and the axon TPU backend
     has no host callbacks, so the boundary is explicit — same pattern as the
     CLTR Hungarian matcher.
+
+    ``fused_head=True`` applies the folded-planes dice_bce to the warm-up
+    step (C=1 binary head; see make_single_steps); the topo phase needs the
+    unfolded likelihood map on the host for pairing, so it is unaffected.
     """
     import numpy as np
 
@@ -275,10 +280,30 @@ def make_topo_steps(model, tx, loss_type: str, num_classes: int,
             out = jax.nn.relu(out)
         return out, bs
 
+    def _warm_planes_ok(x):
+        return (fused_head and not relu_output
+                and getattr(model, "n_classes", None) == 1
+                and hasattr(model, "supports_planes")
+                and model.supports_planes(x.shape))
+
     # ---- warm-up phase: plain dice_bce step
     @functools.partial(jax.jit, donate_argnums=0)
     def warm_step(state, x, y, gt_dot, lr, rng):
+        use_planes = _warm_planes_ok(x)  # static: x.shape is trace-time
+
         def objective(params):
+            if use_planes:
+                from unet_torch_tpu.losses.functional import (
+                    dice_bce_planes_folded,
+                )
+
+                variables = {"params": params,
+                             "batch_stats": state.batch_stats}
+                planes, mut = model.apply(variables, x, train=True,
+                                          planes=True,
+                                          mutable=["batch_stats"],
+                                          rngs={"dropout": rng})
+                return dice_bce_planes_folded(planes, y), mut["batch_stats"]
             out, bs = forward(params, state.batch_stats, x, True, rng)
             return calc_loss(out, y, loss_type="dice_bce",
                              num_classes=num_classes), bs

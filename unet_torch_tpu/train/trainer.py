@@ -346,7 +346,8 @@ class Trainer:
         self._lr = self.base_lr
         (warm_step, warm_eval), (topo_step, topo_eval), TopoPipeline = \
             make_topo_steps(self.model, tx, self.loss_function,
-                            self.num_classes, relu_output=self.relu_output)
+                            self.num_classes, relu_output=self.relu_output,
+                            fused_head=self.fused_head)
 
         totaltime = 0.0
         for epoch in range(self.start_epoch, self.num_epochs + 1):
