@@ -78,3 +78,116 @@ def test_check_input_writes_grids(tmp_path):
     check_input(loaders, str(tmp_path))
     assert (tmp_path / "train_batch.png").exists()
     assert (tmp_path / "val_batch.png").exists()
+
+
+def _tiny_wide_vit():
+    """get_testing() widened so hidden/heads are shardable (heads % tp == 0)."""
+    from unet_torch_tpu.models.transunet.configs import get_testing
+    from unet_torch_tpu.models.transunet.vit import VisionTransformer
+
+    config = get_testing()
+    config.hidden_size = 16
+    config.transformer.num_heads = 2
+    config.transformer.mlp_dim = 32
+    config.transformer.num_layers = 2
+    config.transformer.dropout_rate = 0.0
+    return VisionTransformer(config, 32, 3)
+
+
+def test_tp_specs_cover_block_projections():
+    from jax.sharding import PartitionSpec as P
+
+    from unet_torch_tpu.parallel.tensor import tp_param_specs
+
+    model = _tiny_wide_vit()
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    params = model.init(jax.random.key(0), x, train=False)["params"]
+    specs = tp_param_specs(params)
+    blk = specs["transformer"]["encoder"]["encoderblock_0"]
+    assert blk["attn"]["query"]["kernel"] == P(None, "model")
+    assert blk["attn"]["query"]["bias"] == P("model")
+    assert blk["attn"]["out"]["kernel"] == P("model", None)
+    assert blk["attn"]["out"]["bias"] == P()
+    assert blk["ffn"]["fc1"]["kernel"] == P(None, "model")
+    assert blk["ffn"]["fc2"]["kernel"] == P("model", None)
+    # everything outside the transformer blocks replicates
+    assert all(s == P() for s in jax.tree_util.tree_leaves(
+        specs["segmentation_head"]))
+
+
+def test_transunet_tp_matches_replicated(mesh):
+    """One dp×tp train step (data=4, model=2 — Megatron param shardings via
+    parallel/tensor.py) must match the dp-replicated step: same loss, same
+    updated params.  GSPMD inserts the per-block all-reduces; numerics agree
+    to reduction order."""
+    from unet_torch_tpu.parallel.tensor import shard_state_tp
+
+    model = _tiny_wide_vit()
+    tx = make_optimizer("SGD", 1e-2, 0.0)
+    rng = np.random.RandomState(1)
+    x = np.asarray(rng.randn(8, 32, 32, 3), np.float32)
+    y = np.asarray(rng.randint(0, 3, (8, 32, 32)), np.float32)
+    variables = model.init(jax.random.key(0), jnp.asarray(x[:1]), train=False)
+
+    def run(run_mesh, place):
+        vv = jax.tree.map(jnp.array, variables)  # donation-safe fresh copy
+        state = TrainState.create(vv["params"],
+                                  vv.get("batch_stats", {}), tx)
+        state = place(state)
+        step, _ = make_single_steps(model, tx, "dice_bce_mc", "dice_bce_mc", 3)
+        xb, yb = shard_batch(run_mesh, (jnp.asarray(x), jnp.asarray(y)))
+        state, loss = step(state, xb, yb, 1e-2, jax.random.key(1))
+        return float(loss), state
+
+    tp_mesh = make_mesh(n_data=4, n_model=2)
+    loss_r, state_r = run(
+        mesh, lambda st: jax.device_put(st, replicated_sharding(mesh)))
+    loss_t, state_t = run(
+        tp_mesh, lambda st: shard_state_tp(tp_mesh, st, tx))
+    assert np.allclose(loss_r, loss_t, atol=1e-5)
+    pr = jax.tree_util.tree_leaves(state_r.params)
+    pt = jax.tree_util.tree_leaves(state_t.params)
+    for a, b in zip(pr, pt):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_trainer_tp_e2e(tmp_path):
+    """User-facing tp: Trainer on a (data=4, model=2) mesh with a transformer
+    model_type places the state via shard_state_tp (mesh: {model: M} config
+    key) and trains one epoch end-to-end."""
+    from unet_torch_tpu.data.loader import NumpyLoader
+    from unet_torch_tpu.train.trainer import Trainer
+
+    class DS:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            r = np.random.RandomState(i)
+            return (r.rand(32, 32, 3).astype(np.float32),
+                    r.randint(0, 3, (32, 32)).astype(np.float32))
+
+    model = _tiny_wide_vit()
+    tp_mesh = make_mesh(n_data=4, n_model=2)
+    loaders = {"train": NumpyLoader(DS(8), 4, shuffle=True, seed=0),
+               "val": NumpyLoader(DS(2), 1)}
+    tr = Trainer(model, "TransUnet", tp_mesh, str(tmp_path), loaders,
+                 batch_size=4, optimizer_name="SGD", lr_rate=1e-2,
+                 weight_decay=0.0, patience=10, num_epochs=1,
+                 loss_function="dice_bce_mc", accuracy_metric="dice_bce_mc",
+                 num_classes=3)
+    tr.train()
+    assert np.isfinite(tr.train_loss_list).all()
+    # _init_state really model-shards the block projections on this mesh
+    # (post-train tr.state holds host copies, so probe a fresh state)
+    from jax.sharding import PartitionSpec as P
+
+    st = tr._init_state(make_optimizer("SGD", 1e-2, 0.0),
+                        np.zeros((1, 32, 32, 3), np.float32))
+    k = st.params["transformer"]["encoder"]["encoderblock_0"][
+        "attn"]["query"]["kernel"]
+    assert k.sharding.spec == P(None, "model")

@@ -157,7 +157,8 @@ def run_training(cfg: Config):
     if is_main():
         cfg.dump_snapshot(save_dir)
 
-    mesh = make_mesh(**({"n_data": cfg.train.mesh.get("data")}
+    mesh = make_mesh(**({"n_data": cfg.train.mesh.get("data"),
+                         "n_model": cfg.train.mesh.get("model", 1)}
                         if cfg.train.mesh else {}))
     # per-process data sharding: each host loads its stride of the dataset
     # and a per-process slice of the global batch (core/dist.py docstring)

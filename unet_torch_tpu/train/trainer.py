@@ -122,7 +122,18 @@ class Trainer:
         batch_stats = variables.get("batch_stats", {})
         if extra_params is not None:
             params = {"model": params, **extra_params}
-        return TrainState.create(params, batch_stats, tx)
+        state = TrainState.create(params, batch_stats, tx)
+        if (self.mesh.shape.get("model", 1) > 1
+                and self.model_type in ("TransUnet", "regression_t",
+                                        "multi_task_regTU", "multitask_em",
+                                        "CLTR")):
+            # mesh: {model: M>1} on a transformer family → Megatron tensor
+            # parallelism: block projections shard over 'model', GSPMD
+            # inserts the per-block all-reduces (parallel/tensor.py).
+            from unet_torch_tpu.parallel.tensor import shard_state_tp
+
+            state = shard_state_tp(self.mesh, state, tx)
+        return state
 
     def _current_lr(self):
         if self.adaptive_lr:
