@@ -305,7 +305,7 @@ def _make_unet_state(batch, dtype, base=64, remat=False, n_classes=N_CLASSES,
 
 
 def tpu_unet(batch=16, dtype_name="bfloat16", remat=False, loss="CE",
-             steps=20, fused_head=False):
+             steps=20, fused_head=True):
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
@@ -347,7 +347,7 @@ def _make_multitask_state(batch, fused_head=False):
     return fn, state, (x, y1, y2, 1e-3, key, no_ratio)
 
 
-def tpu_multitask(batch=8, steps=10, fused_head=False):
+def tpu_multitask(batch=8, steps=10, fused_head=True):
     fn, state, args = _make_multitask_state(batch, fused_head=fused_head)
     dt = _run_tpu_steps(fn, state, args, steps)
     return steps * batch / dt
@@ -538,10 +538,11 @@ def tpu_topo(batch=8, steps=10):
 
 CONFIGS = [
     # (name, tpu_fn, baseline_key, unit)
+    # fused planes head default-on (r5 A/B: 92.8 -> 94.5 img/s)
     ("unet64_512px_bf16_b16", lambda: tpu_unet(16, "bfloat16"), "unet_ce"),
-    # fused planes head A/B on the headline CE config
-    ("unet64_512px_bf16_b16_fusedhead",
-     lambda: tpu_unet(16, "bfloat16", fused_head=True), "unet_ce"),
+    # A/B control: the loss on the C-minor logits tensor
+    ("unet64_512px_bf16_b16_nofusedhead",
+     lambda: tpu_unet(16, "bfloat16", fused_head=False), "unet_ce"),
     ("unet64_512px_f32_b8", lambda: tpu_unet(8, "float32", steps=10),
      "unet_ce"),
     ("unet64_512px_bf16_b32_remat",
@@ -549,15 +550,16 @@ CONFIGS = [
     ("unet64_512px_bf16_b16_dice_bce_mc",
      lambda: tpu_unet(16, "bfloat16", loss="dice_bce_mc", steps=10),
      "unet_mc"),
-    # fused planes head A/B (dice_bce_mc without the C-minor logits tensor)
-    ("unet64_512px_bf16_b16_dice_bce_mc_fusedhead",
+    # A/B control (r5: fused 93.2 vs C-minor 91.4 img/s)
+    ("unet64_512px_bf16_b16_dice_bce_mc_nofusedhead",
      lambda: tpu_unet(16, "bfloat16", loss="dice_bce_mc", steps=10,
-                      fused_head=True),
+                      fused_head=False),
      "unet_mc"),
+    # fused planes heads default-on (r5 A/B: 55.5 -> 57.5 img/s)
     ("multitask_unet64_512px_bf16_b8", tpu_multitask, "multitask"),
-    # fused planes heads A/B: both (B,512,512,1) head tensors never exist
-    ("multitask_unet64_512px_bf16_b8_fusedhead",
-     lambda: tpu_multitask(fused_head=True), "multitask"),
+    # A/B control: both (B,512,512,1) head tensors materialised
+    ("multitask_unet64_512px_bf16_b8_nofusedhead",
+     lambda: tpu_multitask(fused_head=False), "multitask"),
     ("transunet_r50vitb16_512px_bf16_b8", tpu_transunet, "transunet"),
     # b16 became the knee once the Pallas auction removed the matcher wall
     # (b8 126.4 / b16 127.2 / b32 117.5 img/s)
