@@ -92,7 +92,8 @@ def mc_torch(train, val, epochs, base, lr, batch, seed):
     return dice_multiclass(pred.numpy(), vy, 3)
 
 
-def mc_ours(train, val, epochs, base, lr, batch, seed, dtype="float32"):
+def mc_ours(train, val, epochs, base, lr, batch, seed, dtype="float32",
+            fold=False, fused_head=False):
     import jax
     import jax.numpy as jnp
 
@@ -102,14 +103,16 @@ def mc_ours(train, val, epochs, base, lr, batch, seed, dtype="float32"):
     from unet_torch_tpu.train.steps import make_single_steps
 
     (xs, ys), (vx, vy) = train, val
-    model = UNet(3, 3, base, dtype=jnp.bfloat16 if dtype == "bfloat16"
+    model = UNet(3, 3, base, fold=fold,
+                 dtype=jnp.bfloat16 if dtype == "bfloat16"
                  else jnp.float32)
     tx = make_optimizer("Adam", lr, 1e-4)
     variables = model.init(jax.random.key(seed), jnp.asarray(xs[:1]),
                            train=False)
     state = TrainState.create(variables["params"],
                               variables.get("batch_stats", {}), tx)
-    step, _ = make_single_steps(model, tx, "dice_bce_mc", "dice_bce_mc", 3)
+    step, _ = make_single_steps(model, tx, "dice_bce_mc", "dice_bce_mc", 3,
+                                fused_head=fused_head)
     rng = np.random.RandomState(seed)
     key = jax.random.key(seed + 1)
     for _ in range(epochs):
@@ -281,7 +284,8 @@ def tu_ours(train, val, epochs, lr, batch, seed):
                            train=False)
     state = TrainState.create(variables["params"],
                               variables.get("batch_stats", {}), tx)
-    step, _ = make_single_steps(model, tx, "dice_bce_mc", "dice_bce_mc", 3)
+    step, _ = make_single_steps(model, tx, "dice_bce_mc", "dice_bce_mc", 3,
+                                fused_head=fused_head)
     rng = np.random.RandomState(seed)
     key = jax.random.key(seed + 1)
     for _ in range(epochs):
@@ -370,6 +374,7 @@ def make_binary_data(n_train=32, n_val=48, size=64, seed=0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--experiments", default="mc,multitask,bf16,topo")
+    # 'fusedhead' (opt-in): trained-outcome A/B for the r5 default flip
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--epochs", type=int, default=80)
     ap.add_argument("--base", type=int, default=8)
@@ -449,6 +454,28 @@ def main():
             "per_seed_torch": [round(v, 4) for v in ref],
             "per_seed_ours": [round(v, 4) for v in ours]}
         print("transunet:", json.dumps(results["transunet_dice_bce_mc"]),
+              flush=True)
+
+    if "fusedhead" in wanted:
+        # trained-outcome evidence for the fused planes head default (r5):
+        # same data/seeds, W-folded model both arms, loss on the C-minor
+        # logits vs on the folded class planes (value-equivalent up to
+        # summation order — this verifies converged outcomes match too)
+        train, val = make_data(n_train=32, n_val=48)
+        plain = [mc_ours(train, val, args.epochs, args.base, args.lr,
+                         args.batch, s, fold=True, fused_head=False)
+                 for s in seeds]
+        fused = [mc_ours(train, val, args.epochs, args.base, args.lr,
+                         args.batch, s, fold=True, fused_head=True)
+                 for s in seeds]
+        results["fusedhead_vs_cminor"] = {
+            "cminor_dice": round(float(np.mean(plain)), 4),
+            "fused_dice": round(float(np.mean(fused)), 4),
+            "abs_gap": round(abs(float(np.mean(plain)) -
+                                 float(np.mean(fused))), 4),
+            "per_seed_cminor": [round(v, 4) for v in plain],
+            "per_seed_fused": [round(v, 4) for v in fused]}
+        print("fusedhead:", json.dumps(results["fusedhead_vs_cminor"]),
               flush=True)
 
     if "topo" in wanted:
