@@ -72,7 +72,12 @@ def cltr_train_loop(trainer):
     if use_fused:
         from unet_torch_tpu.train.cltr_steps import make_cltr_fused_step
 
-        fused_step = make_cltr_fused_step(trainer.model, criterion, tx)
+        # mesh-aware when a model axis exists: keeps the auction matching
+        # dp-sharded / model-replicated (see make_cltr_fused_step docstring)
+        fused_step = make_cltr_fused_step(
+            trainer.model, criterion, tx,
+            mesh=(trainer.mesh
+                  if trainer.mesh.shape.get("model", 1) > 1 else None))
     channel_point = trainer.model.channel_point
 
     for epoch in range(trainer.start_epoch, trainer.num_epochs + 1):

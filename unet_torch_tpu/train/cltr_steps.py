@@ -54,7 +54,7 @@ def make_cltr_steps(model, criterion, tx):
     return cost_step, update_step, infer_step
 
 
-def make_cltr_fused_step(model, criterion, tx):
+def make_cltr_fused_step(model, criterion, tx, mesh=None):
     """Single-jit CLTR train step: the Hungarian assignment runs *on device*
     via the auction LSAP solver (kernels/auction.py), so forward, matching,
     loss, backward and update fuse into one XLA program — no host round-trip
@@ -62,10 +62,24 @@ def make_cltr_fused_step(model, criterion, tx):
 
     The reference stalls on scipy every step (CLTR/matcher.py:77-80); this is
     the TPU-native replacement.
+
+    ``mesh``: pass the mesh when the state is tensor-parallel
+    (parallel/tensor.py) over a ``model`` axis.  The matching is tiny
+    batch-wise work; constraining the cost matrices to dp-sharded /
+    model-replicated keeps the auction while-loop collective-free — without
+    the constraint GSPMD may leave costs sharded over ``model`` and insert
+    an all-reduce into every bidding round (measured: deadlocks the 8-virtual
+    -device CPU dryrun at the 40 s collective-rendezvous timeout).
     """
     import optax as _optax
 
     from unet_torch_tpu.kernels.auction import auction_lsap_batched
+
+    match_sharding = None
+    if mesh is not None and "model" in mesh.axis_names:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        match_sharding = NamedSharding(mesh, P(None, "data"))
 
     def forward(params, batch_stats, x, rng):
         return model.apply({"params": params, "batch_stats": batch_stats}, x,
@@ -81,7 +95,14 @@ def make_cltr_fused_step(model, criterion, tx):
             L = costs.shape[0]
             valid_lbt = jax.numpy.broadcast_to(tgt_valid[None],
                                                (L,) + tgt_valid.shape)
+            if match_sharding is not None:
+                costs = jax.lax.with_sharding_constraint(costs, match_sharding)
+                valid_lbt = jax.lax.with_sharding_constraint(valid_lbt,
+                                                             match_sharding)
             match_src = auction_lsap_batched(costs, valid_lbt)
+            if match_sharding is not None:
+                match_src = jax.lax.with_sharding_constraint(match_src,
+                                                             match_sharding)
             total, loss_dict = criterion.losses(out, tgt_labels, tgt_points,
                                                 tgt_valid, match_src)
             return total, loss_dict
