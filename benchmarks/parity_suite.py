@@ -264,7 +264,7 @@ def tu_torch(train, val, epochs, lr, batch, seed):
     return dice_multiclass(pred.numpy(), vy, 3)
 
 
-def tu_ours(train, val, epochs, lr, batch, seed):
+def tu_ours(train, val, epochs, lr, batch, seed, fused_head=False):
     import copy
 
     import jax
