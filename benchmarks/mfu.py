@@ -32,14 +32,22 @@ V5E_BF16_PEAK = 197e12
 
 
 def _flops_of(fn, state, args):
+    """Returns (xla_flops, kernel_flops): XLA's compiled cost analysis plus
+    the trace-time analytic tally of matmul flops inside Pallas kernels
+    (kernels/accounting.py) — cost_analysis cannot see into custom calls, so
+    without the tally the attention-in-kernel families under-report."""
     import jax
 
+    from unet_torch_tpu.kernels.accounting import count_kernel_flops
+
     jitted = fn if hasattr(fn, "lower") else jax.jit(fn, donate_argnums=0)
-    compiled = jitted.lower(state, *args).compile()
+    with count_kernel_flops() as tally:
+        lowered = jitted.lower(state, *args)
+    compiled = lowered.compile()
     ca = compiled.cost_analysis()
     if isinstance(ca, list):  # older jax returns [dict]
         ca = ca[0]
-    return float(ca.get("flops", float("nan")))
+    return float(ca.get("flops", float("nan"))), sum(tally.values())
 
 
 def _time_step(fn, state, args, steps):
@@ -79,8 +87,10 @@ def main():
     def add_train(name, builder, batch, steps=10):
         print(f"=== {name}", file=sys.stderr, flush=True)
         fn, state, args = builder()
-        flops = _flops_of(fn, state, args)
-        row = {"batch": batch, "step_gflops": round(flops / 1e9, 1)}
+        xla_flops, kern_flops = _flops_of(fn, state, args)
+        flops = xla_flops + kern_flops
+        row = {"batch": batch, "step_gflops": round(flops / 1e9, 1),
+               "kernel_gflops": round(kern_flops / 1e9, 1)}
         if do_time:
             dt = _time_step(fn, state, args, steps)
             row["ms_per_step"] = round(dt * 1e3, 1)
@@ -119,13 +129,18 @@ def main():
                 dtype=jnp.bfloat16), 16)),
     ]:
         print(f"=== {name}", file=sys.stderr, flush=True)
+        from unet_torch_tpu.kernels.accounting import count_kernel_flops
+
         predict, x, batch = _infer_builder(make)
-        compiled = predict.lower(x).compile()
+        with count_kernel_flops() as tally:
+            lowered = predict.lower(x)
+        compiled = lowered.compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
-        flops = float(ca.get("flops", float("nan")))
-        row = {"batch": batch, "step_gflops": round(flops / 1e9, 1)}
+        flops = float(ca.get("flops", float("nan"))) + sum(tally.values())
+        row = {"batch": batch, "step_gflops": round(flops / 1e9, 1),
+               "kernel_gflops": round(sum(tally.values()) / 1e9, 1)}
         if do_time:
             import numpy as np
 

@@ -331,3 +331,35 @@ class TestDropoutFlashAttention:
                                        0.5, True)
         np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
         assert np.abs(np.asarray(a1) - np.asarray(b1)).max() > 1e-3
+
+
+def test_kernel_flop_accounting_tallies_trace_time():
+    """kernels/accounting.py: tracing a dropout-flash fwd+bwd under
+    count_kernel_flops records the analytic matmul flops (the MFU ledger's
+    in-kernel term, benchmarks/mfu.py); outside the context nothing records."""
+    import jax
+    import jax.numpy as jnp
+
+    from unet_torch_tpu.kernels import attention as A
+    from unet_torch_tpu.kernels.accounting import count_kernel_flops
+
+    b, h, nq, nk, d = 1, 2, 16, 128, 8
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(b, h, nq, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, nk, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, nk, d), jnp.float32)
+
+    def loss(q, k, v):
+        return (A.dropout_flash_attention(q, k, v, jnp.uint32(0), d ** -0.5,
+                                          0.1, True) ** 2).sum()
+
+    with count_kernel_flops() as tally:
+        jax.jit(jax.grad(loss, argnums=(0, 1, 2))).lower(q, k, v)
+    # nq pads to 16 (bq=16), nk pads to 128 (bk=128)
+    assert tally["dropout_flash_fwd"] == 2 * b * h * 16 * 128 * (d + d)
+    assert tally["dropout_flash_bwd"] == 2 * b * h * 16 * 128 * (4 * d + 3 * d)
+
+    from unet_torch_tpu.kernels import accounting
+
+    assert accounting._TALLY is None  # restored; record() outside is a no-op
+    accounting.record("x", 1.0)

@@ -24,6 +24,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from unet_torch_tpu.kernels import accounting
+
 
 def _use_pallas_default() -> bool:
     try:
@@ -49,6 +51,7 @@ def _attention_pallas(q, k, v, scale, bias=None, interpret=False):
     b, h, nq, dqk = q.shape
     nk = k.shape[2]
     dv = v.shape[3]
+    accounting.record("attention_fwd", 2 * b * h * nq * nk * (dqk + dv))
     qf = q.reshape(b * h, nq, dqk)
     kf = k.reshape(b * h, nk, dqk)
     vf = v.reshape(b * h, nk, dv)
@@ -127,6 +130,8 @@ def _attention_flash(q, k, v, scale, bias=None, block_q=256, block_k=512,
     bq = min(block_q, _ceil_to(nq, 8))
     bk = min(block_k, _ceil_to(nk, 128))
     nq_p, nk_p = _ceil_to(nq, bq), _ceil_to(nk, bk)
+    accounting.record("attention_flash_fwd",
+                      2 * b * h * nq_p * nk_p * (dqk + dv))
 
     qf = q.reshape(b * h, nq, dqk)
     kf = k.reshape(b * h, nk, dqk)
@@ -421,6 +426,8 @@ def _dropout_flash_fwd(q, k, v, seed, scale, rate, block_q=256, block_k=512,
     nqt, nkt = nq_p // bq, nk_p // bk
     thr = min(int(rate * 2 ** 32), 2 ** 32 - 1)  # python int: kernel const
     inv_keep = 1.0 / (1.0 - rate)
+    accounting.record("dropout_flash_fwd",
+                      2 * b * h * nq_p * nk_p * (dqk + dv))
 
     def kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                m_scr, l_scr, acc_scr):
@@ -526,6 +533,10 @@ def _dropout_flash_bwd(q, k, v, seed, lse, dly, g, scale, rate, block_q=256,
     nqt, nkt = nq_p // bq, nk_p // bk
     thr = min(int(rate * 2 ** 32), 2 ** 32 - 1)  # python int: kernel const
     inv_keep = 1.0 / (1.0 - rate)
+    # pass 1 (dk/dv): s + dv + dp + dk; pass 2 (dq): s + dp + dq — the two
+    # score recomputes and dk/dq contract over dqk, dv and the two dp over dv
+    accounting.record("dropout_flash_bwd",
+                      2 * b * h * nq_p * nk_p * (4 * dqk + 3 * dv))
     sd = seed.reshape(1).astype(jnp.uint32)
 
     def recompute(seed_ref, q_ref, k_ref, lse_ref, i, qi, ki):
