@@ -105,11 +105,30 @@ def cltr_train_loop(trainer):
                     trainer._log(
                         f"loaded pretrained resnet50 from {pretrained}")
                 trainer.state = TrainState.create(params, bstats, tx)
+                # production mesh placement (the dryrun shards its own):
+                # tp-shard the transformer projections over 'model' when that
+                # axis exists, else replicate params/opt over the dp mesh
+                if trainer.mesh.shape.get("model", 1) > 1:
+                    from unet_torch_tpu.parallel.tensor import shard_state_tp
+
+                    trainer.state = shard_state_tp(trainer.mesh,
+                                                   trainer.state, tx)
+                elif trainer.mesh.size > 1:
+                    from unet_torch_tpu.core.mesh import replicated_sharding
+
+                    trainer.state = jax.device_put(
+                        trainer.state, replicated_sharding(trainer.mesh))
             max_pts = _bucket(max((len(t["labels"]) for t in targets),
                                   default=1))
             labels, points, mpoints, valid = pad_targets(
                 targets, max_pts, channel_point)
             rng = trainer.rng.next()
+            if trainer.mesh.size > 1:
+                from unet_torch_tpu.core.mesh import shard_batch
+
+                x, labels, points, valid = shard_batch(
+                    trainer.mesh, (x, jnp.asarray(labels),
+                                   jnp.asarray(points), jnp.asarray(valid)))
             if use_fused:
                 trainer.state, loss, _ = fused_step(
                     trainer.state, x, jnp.asarray(labels),

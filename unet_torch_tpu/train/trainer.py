@@ -46,6 +46,15 @@ from unet_torch_tpu.train.steps import (
 TOPO_LOSS_NAMES = TOPO_LOSSES | {"TopoCount2", "TopoLoss2"}
 
 
+def _with_placement(new_tree, ref_tree):
+    """Place each host-numpy leaf of ``new_tree`` with the sharding of the
+    matching leaf in ``ref_tree`` (identity for leaves without one)."""
+    return jax.tree_util.tree_map(
+        lambda n, r: (jax.device_put(n, r.sharding)
+                      if hasattr(r, "sharding") else n),
+        new_tree, ref_tree)
+
+
 def _device_mem() -> str:
     try:
         stats = jax.devices()[0].memory_stats() or {}
@@ -184,6 +193,12 @@ class Trainer:
                     params, self.best_payload["params"])
             bs = serialization.from_state_dict(self.state.batch_stats,
                                                self.best_payload["batch_stats"])
+            # the payload is host numpy (jax.device_get at save time) —
+            # re-place each restored leaf with the live state's sharding so
+            # post-restore eval keeps the mesh placement (tp shards stay
+            # shards, replicated params stay replicated)
+            params = _with_placement(params, self.state.params)
+            bs = _with_placement(bs, self.state.batch_stats)
             self.state = self.state.replace(params=params, batch_stats=bs)
 
     def plot_loss_functions(self, name):
