@@ -62,9 +62,14 @@ def _time_step(fn, state, args, steps):
 
 
 def _infer_builder(make_model):
+    """Variables as a jit ARGUMENT (closed-over params serialize into the
+    HLO — HTTP 413 on TransUnet-size models through the axon tunnel, and
+    measured ~27% slower steady-state; bench.py::tpu_unet_infer)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    from unet_torch_tpu.eval.metrics import class_argmax
 
     model, batch = make_model()
     rng = np.random.RandomState(0)
@@ -73,11 +78,11 @@ def _infer_builder(make_model):
     variables = model.init(jax.random.key(0), x[:1], train=False)
 
     @jax.jit
-    def predict(x):
+    def predict(variables, x):
         out = model.apply(variables, x, train=False)
-        return jnp.argmax(jax.nn.softmax(out, axis=-1), axis=-1)
+        return class_argmax(out)
 
-    return predict, x, batch
+    return predict, variables, x, batch
 
 
 def main():
@@ -121,19 +126,28 @@ def main():
     # inference rows
     import jax
 
+    def _make_transunet():
+        from unet_torch_tpu.models.transunet import build_transunet
+
+        return build_transunet("TransUnet", img_size=bench.SIZE,
+                               n_channels=bench.CHANNELS,
+                               num_classes=bench.N_CLASSES,
+                               dtype=jnp.bfloat16), 16
+
     for name, make in [
         ("unet64_512px_bf16_b16_infer", lambda: (
             __import__("unet_torch_tpu.models.unet",
                        fromlist=["UNet"]).UNet(
                 bench.CHANNELS, bench.N_CLASSES, 64, fold=True,
                 dtype=jnp.bfloat16), 16)),
+        ("transunet_r50vitb16_512px_bf16_b16_infer", _make_transunet),
     ]:
         print(f"=== {name}", file=sys.stderr, flush=True)
         from unet_torch_tpu.kernels.accounting import count_kernel_flops
 
-        predict, x, batch = _infer_builder(make)
+        predict, variables, x, batch = _infer_builder(make)
         with count_kernel_flops() as tally:
-            lowered = predict.lower(x)
+            lowered = predict.lower(variables, x)
         compiled = lowered.compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, list):
@@ -144,10 +158,10 @@ def main():
         if do_time:
             import numpy as np
 
-            np.asarray(predict(x))
+            np.asarray(predict(variables, x))
             t0 = time.perf_counter()
             for _ in range(10):
-                pred = predict(x)
+                pred = predict(variables, x)
             np.asarray(pred)
             dt = (time.perf_counter() - t0) / 10
             row["ms_per_step"] = round(dt * 1e3, 1)

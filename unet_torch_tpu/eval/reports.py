@@ -75,7 +75,12 @@ def make_predict_fn(trainer, classes: bool = False):
     classes=True fuses the reference's softmax->argmax postprocess on device
     (full-lane plane compares, eval/metrics.py::class_argmax) and returns a
     uint8 class map — 12x less device->host traffic than f32 3-class logits
-    through the tunnel."""
+    through the tunnel.
+
+    The variables are a jit ARGUMENT, not a closure: closed-over params
+    serialize into the HLO as literals, which blows the axon tunnel's
+    remote-compile request limit on big models (HTTP 413 at TransUnet size)
+    and measured ~27% slower steady-state (BASELINE.md r4 infer notes)."""
     import jax
     import jax.numpy as jnp
 
@@ -83,23 +88,31 @@ def make_predict_fn(trainer, classes: bool = False):
 
     model = trainer.model
     state = trainer.state
+    variables = {"params": _model_params(state),
+                 "batch_stats": state.batch_stats}
 
     @jax.jit
-    def predict(x):
-        out = model.apply({"params": _model_params(state),
-                           "batch_stats": state.batch_stats}, x, train=False)
+    def _predict(variables, x):
+        out = model.apply(variables, x, train=False)
         if classes:
             return class_argmax(out).astype(jnp.uint8)
         return out
 
-    return predict
+    return lambda x: _predict(variables, x)
 
 
 def _batched_eval(image_list, ch, input_size, predict, chunk: int = 8):
     """Decode + preprocess a chunk of eval images, run one batched forward
     (the reference predicts serially at batch 1), yield (paths, originals,
-    outputs).  Fixed chunk = one jit signature; last-chunk padding dropped."""
-    for s in range(0, len(image_list), chunk):
+    outputs).  Fixed chunk = one jit signature; last-chunk padding dropped.
+
+    One-deep software pipeline: jax dispatch is async, so chunk k's forward
+    is dispatched BEFORE chunk k-1's result is synced (np.asarray = the D2H
+    sync point) — the device computes chunk k while the host decodes chunk
+    k+1 and postprocesses k-1, so eval wall-clock is max(decode, device)
+    instead of their sum (the warm decode path runs ~135-190 img/s vs the
+    device's ~230, BASELINE.md loader table)."""
+    def _load_and_dispatch(s):
         paths = image_list[s:s + chunk]
         originals = [_load_eval_image(p, ch) for p in paths]
         xs = np.concatenate([preprocess_eval(im, input_size)
@@ -107,8 +120,18 @@ def _batched_eval(image_list, ch, input_size, predict, chunk: int = 8):
         n = len(xs)
         if n < chunk:
             xs = np.concatenate([xs, np.repeat(xs[-1:], chunk - n, axis=0)])
-        outs = np.asarray(predict(xs))[:n]
-        yield paths, originals, outs
+        return paths, originals, n, predict(xs)  # async dispatch
+
+    prev = None
+    for s in range(0, len(image_list), chunk):
+        cur = _load_and_dispatch(s)
+        if prev is not None:
+            paths, originals, n, outs_dev = prev
+            yield paths, originals, np.asarray(outs_dev)[:n]
+        prev = cur
+    if prev is not None:
+        paths, originals, n, outs_dev = prev
+        yield paths, originals, np.asarray(outs_dev)[:n]
 
 
 def _model_params(state):
@@ -941,16 +964,31 @@ def test_single_crop(trainer, input_size, ch, num_class, crop_size,
         tiles = np.stack(tiles).astype(np.float32)
         pred = np.zeros(label.shape, np.uint8)
         chunk = 16
-        for s in range(0, len(tiles), chunk):
+
+        def _dispatch(s):
             batch = tiles[s:s + chunk]
             n = len(batch)
             if n < chunk:
                 batch = np.concatenate(
                     [batch, np.repeat(batch[-1:], chunk - n, axis=0)])
-            out = np.asarray(predict(batch))[:n, ..., 0]
+            return s, n, predict(batch)  # async dispatch
+
+        def _write_back(s, n, out_dev):
+            out = np.asarray(out_dev)[:n, ..., 0]
             for (i, j), o in zip(coords[s:s + chunk], out):
                 pred[i:i + crop_size, j:j + crop_size] = \
                     (1 / (1 + np.exp(-o)) >= 0.5).astype(np.uint8)
+
+        # 1-deep pipeline: tile chunk k computes on device while chunk k-1's
+        # sigmoid/threshold write-back runs on host (see _batched_eval)
+        prev = None
+        for s in range(0, len(tiles), chunk):
+            cur = _dispatch(s)
+            if prev is not None:
+                _write_back(*prev)
+            prev = cur
+        if prev is not None:
+            _write_back(*prev)
         res.compare_images(img_org, label, pred, gt_dot)
     res.save()
     return res.get_results()
