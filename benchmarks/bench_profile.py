@@ -51,6 +51,20 @@ def run_steps(batch: int, steps: int, log_dir: str, remat: bool = False,
         from unet_torch_tpu.models.transunet import build_transunet
         model = build_transunet("TransUnet", img_size=512, n_channels=3,
                                 num_classes=3, dtype=jnp.bfloat16)
+    elif model_name == "unet_bench":
+        # the exact bench headline step (fold + fused planes head defaults)
+        import bench
+
+        fn, state, args = bench._make_unet_state(batch, jnp.bfloat16,
+                                                 fused_head=True)
+        for _ in range(2):
+            state, loss = fn(state, *args)
+            float(loss)
+        with profile_trace(log_dir):
+            for _ in range(steps):
+                state, loss = fn(state, *args)
+            float(loss)
+        return
     else:
         model = UNet(3, 3, 64, remat=remat, fold=fold, dtype=jnp.bfloat16)
     tx = make_optimizer("Adam", 1e-3, 0.0)
@@ -129,7 +143,7 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--fold", action="store_true")
     ap.add_argument("--model", default="unet",
-                    choices=["unet", "transunet", "cltr"])
+                    choices=["unet", "unet_bench", "transunet", "cltr"])
     ap.add_argument("--log-dir", default="")
     args = ap.parse_args()
     log_dir = args.log_dir or tempfile.mkdtemp(prefix="unet_prof_")
