@@ -6,9 +6,19 @@ Prints ONE JSON line to stdout:
   {"metric", "value", "unit", "vs_baseline",   # headline: UNet-64 bf16 b16
    "suite": [one entry per config with its own torch-CPU baseline]}
 
-torch-CPU baselines are measured once and cached in BASELINE_MEASURED.json
-(keyed per config).  Progress goes to stderr.  Select configs with
-BENCH_CONFIGS=name1,name2 (default: all).
+torch-CPU baselines are PINNED CONSTANTS committed in BASELINE_MEASURED.json
+(keyed per config, with the measurement provenance).  A driver-invoked run
+never re-measures them — re-measuring on the contended 1-vCPU host both
+costs 10-20 min (it caused the r3 rc=124 timeout) and drifts 25%
+run-to-run, corrupting vs_baseline.  Refresh manually with
+`python bench.py --remeasure-baselines [key ...]`.
+
+The suite JSON is written incrementally to BENCH_PARTIAL.json after every
+config, and the final one-line JSON is also emitted on SIGTERM/SIGINT so a
+timed-out run still yields every number measured so far.
+
+Progress goes to stderr.  Select configs with BENCH_CONFIGS=name1,name2
+(default: all).
 """
 
 from __future__ import annotations
@@ -238,26 +248,49 @@ BASELINES = {
 }
 
 
+def _load_baseline_cache():
+    if not os.path.exists(BASELINE_CACHE):
+        return {}
+    with open(BASELINE_CACHE) as f:
+        cache = json.load(f)
+    return cache.get("baselines", cache)  # provenance-wrapped or flat legacy
+
+
 def get_baseline(key):
-    cache = {}
-    if os.path.exists(BASELINE_CACHE):
-        with open(BASELINE_CACHE) as f:
-            cache = json.load(f)
-    # legacy r1 key
-    if key == "unet_ce" and "torch_cpu_img_per_sec" in cache and \
-            "unet_ce" not in cache:
-        cache["unet_ce"] = cache["torch_cpu_img_per_sec"]
+    """Pinned lookup ONLY — a missing key returns None (vs_baseline null)
+    rather than triggering a 40 s/step torch-CPU measurement mid-suite.
+    Refresh the pins manually with `python bench.py --remeasure-baselines`."""
+    cache = _load_baseline_cache()
     if key in cache:
         return cache[key]
-    if key not in BASELINES:
-        return None
-    log(f"measuring torch-CPU baseline {key} (once, cached)...")
-    ips = BASELINES[key]()
-    cache[key] = ips
+    log(f"  baseline {key} not pinned in BASELINE_MEASURED.json — "
+        f"vs_baseline will be null (refresh with --remeasure-baselines)")
+    return None
+
+
+def remeasure_baselines(keys=None):
+    """Manual refresh path: measure the requested torch-CPU baselines (all by
+    default) and rewrite BASELINE_MEASURED.json with provenance."""
+    import platform
+
+    cache = _load_baseline_cache()
+    for key in keys or BASELINES:
+        log(f"measuring torch-CPU baseline {key}...")
+        cache[key] = BASELINES[key]()
+        log(f"  {key}: {cache[key]:.4f} img/s")
+    out = {
+        "baselines": cache,
+        "provenance": {
+            "config": {"size": SIZE, "n_classes": N_CLASSES,
+                       "channels": CHANNELS},
+            "host": f"{platform.machine()} {os.cpu_count()}-vcpu",
+            "note": "pinned torch-CPU img/s; re-measure ONLY via "
+                    "`python bench.py --remeasure-baselines` on an idle host",
+        },
+    }
     with open(BASELINE_CACHE, "w") as f:
-        json.dump(cache, f, indent=2)
-    log(f"  {key}: {ips:.4f} img/s")
-    return ips
+        json.dump(out, f, indent=2)
+    log(f"wrote {BASELINE_CACHE}")
 
 
 # --------------------------------------------------------------------------
@@ -537,37 +570,39 @@ def tpu_topo(batch=8, steps=10):
 
 
 CONFIGS = [
-    # (name, tpu_fn, baseline_key, unit)
+    # (name, tpu_fn, baseline_key)
+    # Ordered so a timed-out run loses the least: headline first, then one
+    # entry per model family, infer, topo, and the A/B controls last.
     # fused planes head default-on (r5 A/B: 92.8 -> 94.5 img/s)
     ("unet64_512px_bf16_b16", lambda: tpu_unet(16, "bfloat16"), "unet_ce"),
-    # A/B control: the loss on the C-minor logits tensor
-    ("unet64_512px_bf16_b16_nofusedhead",
-     lambda: tpu_unet(16, "bfloat16", fused_head=False), "unet_ce"),
+    ("unet64_512px_bf16_b16_dice_bce_mc",
+     lambda: tpu_unet(16, "bfloat16", loss="dice_bce_mc", steps=10),
+     "unet_mc"),
+    # fused planes heads default-on (r5 A/B: 55.5 -> 57.5 img/s)
+    ("multitask_unet64_512px_bf16_b8", tpu_multitask, "multitask"),
+    ("transunet_r50vitb16_512px_bf16_b8", tpu_transunet, "transunet"),
+    # b16 became the knee once the Pallas auction removed the matcher wall
+    # (b8 126.4 / b16 127.2 / b32 117.5 img/s)
+    ("cltr_2000q_256px_bf16_b16_fused", tpu_cltr, "cltr"),
+    ("unet64_512px_bf16_b16_infer", tpu_unet_infer, "unet_infer"),
+    ("transunet_r50vitb16_512px_bf16_b16_infer", tpu_transunet_infer,
+     "transunet_infer"),
+    ("unet64_512px_topo_two_phase_b8", tpu_topo, None),
     ("unet64_512px_f32_b8", lambda: tpu_unet(8, "float32", steps=10),
      "unet_ce"),
     ("unet64_512px_bf16_b32_remat",
      lambda: tpu_unet(32, "bfloat16", remat=True, steps=10), "unet_ce"),
-    ("unet64_512px_bf16_b16_dice_bce_mc",
-     lambda: tpu_unet(16, "bfloat16", loss="dice_bce_mc", steps=10),
-     "unet_mc"),
+    # A/B control: the loss on the C-minor logits tensor
+    ("unet64_512px_bf16_b16_nofusedhead",
+     lambda: tpu_unet(16, "bfloat16", fused_head=False), "unet_ce"),
     # A/B control (r5: fused 93.2 vs C-minor 91.4 img/s)
     ("unet64_512px_bf16_b16_dice_bce_mc_nofusedhead",
      lambda: tpu_unet(16, "bfloat16", loss="dice_bce_mc", steps=10,
                       fused_head=False),
      "unet_mc"),
-    # fused planes heads default-on (r5 A/B: 55.5 -> 57.5 img/s)
-    ("multitask_unet64_512px_bf16_b8", tpu_multitask, "multitask"),
     # A/B control: both (B,512,512,1) head tensors materialised
     ("multitask_unet64_512px_bf16_b8_nofusedhead",
      lambda: tpu_multitask(fused_head=False), "multitask"),
-    ("transunet_r50vitb16_512px_bf16_b8", tpu_transunet, "transunet"),
-    # b16 became the knee once the Pallas auction removed the matcher wall
-    # (b8 126.4 / b16 127.2 / b32 117.5 img/s)
-    ("cltr_2000q_256px_bf16_b16_fused", tpu_cltr, "cltr"),
-    ("unet64_512px_topo_two_phase_b8", tpu_topo, None),
-    ("unet64_512px_bf16_b16_infer", tpu_unet_infer, "unet_infer"),
-    ("transunet_r50vitb16_512px_bf16_b16_infer", tpu_transunet_infer,
-     "transunet_infer"),
 ]
 
 
@@ -609,23 +644,69 @@ def _wait_for_axon() -> bool:
         time.sleep(min(120.0, budget - waited))
 
 
+PARTIAL_PATH = os.path.join(HERE, "BENCH_PARTIAL.json")
+_emitted = False
+
+
+def _assemble(suite):
+    headline = next((s for s in suite
+                     if s.get("metric") == "unet64_512px_bf16_b16"), None)
+    if headline is None:
+        headline = next((s for s in suite if "value" in s), {})
+    return {
+        "metric": "unet64_512px_bf16_train_images_per_sec_per_chip",
+        "value": headline.get("value") if headline else None,
+        "unit": "images/sec",
+        "vs_baseline": headline.get("vs_baseline") if headline else None,
+        "suite": suite,
+    }
+
+
+def _emit_final(suite, note=None):
+    """Print the ONE JSON line exactly once — also reachable from the
+    SIGTERM handler so `timeout`-killed runs still deliver their numbers."""
+    global _emitted
+    if _emitted:
+        return
+    _emitted = True
+    out = _assemble(suite)
+    if note:
+        out["note"] = note
+    print(json.dumps(out), flush=True)
+
+
+def _install_timeout_guard(suite):
+    import signal
+
+    def handler(signum, frame):
+        log(f"signal {signum}: emitting partial suite "
+            f"({len(suite)} entries measured)")
+        _emit_final(suite, note=f"partial: killed by signal {signum}")
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+        signal.signal(sig, handler)
+
+
 def main():
+    if "--remeasure-baselines" in sys.argv:
+        keys = [a for a in sys.argv[2:] if not a.startswith("-")] or None
+        remeasure_baselines(keys)
+        return
     only = os.environ.get("BENCH_CONFIGS")
     wanted = set(only.split(",")) if only else None
+    suite = []
+    _install_timeout_guard(suite)
     if not _wait_for_axon():
         log("axon tunnel unavailable for the whole BENCH_WAIT_S budget")
-        print(json.dumps({
-            "metric": "unet64_512px_bf16_train_images_per_sec_per_chip",
-            "value": None,
-            "unit": "images/sec",
-            "vs_baseline": None,
-            "error": "axon TPU tunnel unavailable (probe timed out for the "
-                     "whole BENCH_WAIT_S budget); no measurements taken",
-            "suite": [],
-        }))
+        out = _assemble(suite)
+        out["error"] = ("axon TPU tunnel unavailable (probe timed out for "
+                        "the whole BENCH_WAIT_S budget); no measurements "
+                        "taken")
+        global _emitted
+        _emitted = True
+        print(json.dumps(out), flush=True)
         return
-    suite = []
-    headline = None
     for name, fn, baseline_key in CONFIGS:
         if wanted and name not in wanted:
             continue
@@ -636,11 +717,7 @@ def main():
             log(f"  FAILED: {e!r}")
             suite.append({"metric": name, "error": str(e)})
             continue
-        try:
-            baseline = get_baseline(baseline_key) if baseline_key else None
-        except Exception as e:  # baseline failure must not lose the number
-            log(f"  baseline {baseline_key} FAILED: {e!r}")
-            baseline = None
+        baseline = get_baseline(baseline_key) if baseline_key else None
         entry = {
             "metric": name,
             "value": round(ips, 3),
@@ -650,18 +727,10 @@ def main():
         }
         log(f"  {ips:.2f} img/s  (vs baseline: {entry['vs_baseline']})")
         suite.append(entry)
-        if name == "unet64_512px_bf16_b16":
-            headline = entry
-    if headline is None and suite:
-        headline = next((s for s in suite if "value" in s), {})
-    out = {
-        "metric": "unet64_512px_bf16_train_images_per_sec_per_chip",
-        "value": headline.get("value") if headline else None,
-        "unit": "images/sec",
-        "vs_baseline": headline.get("vs_baseline") if headline else None,
-        "suite": suite,
-    }
-    print(json.dumps(out))
+        # checkpoint after EVERY config: a killed run keeps its numbers
+        with open(PARTIAL_PATH, "w") as f:
+            json.dump(_assemble(suite), f, indent=2)
+    _emit_final(suite)
 
 
 if __name__ == "__main__":

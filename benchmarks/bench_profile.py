@@ -21,6 +21,19 @@ from collections import defaultdict
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _warmup_and_trace(fn, state, args, steps: int, log_dir: str):
+    """Shared warmup + profiled loop (float(loss) forces the axon sync)."""
+    from unet_torch_tpu.utils.debug import profile_trace
+
+    for _ in range(2):
+        state, loss = fn(state, *args)
+        float(loss)
+    with profile_trace(log_dir):
+        for _ in range(steps):
+            state, loss = fn(state, *args)
+        float(loss)
+
+
 def run_steps(batch: int, steps: int, log_dir: str, remat: bool = False,
               fold: bool = False, model_name: str = "unet"):
     import numpy as np
@@ -32,20 +45,19 @@ def run_steps(batch: int, steps: int, log_dir: str, remat: bool = False,
     from unet_torch_tpu.train.optim import make_optimizer
     from unet_torch_tpu.train.state import TrainState
     from unet_torch_tpu.train.steps import make_single_steps
-    from unet_torch_tpu.utils.debug import profile_trace
 
+    if model_name in ("cltr", "unet_bench", "transunet") and (remat or fold):
+        # these builders pin their own remat/fold choices — a silently
+        # ignored flag would mislabel the resulting profile
+        raise SystemExit(f"--remat/--fold are ignored by --model "
+                         f"{model_name}; drop them (the builder pins its "
+                         f"own layout choices)")
     if model_name == "cltr":
         # reuse the bench builder so the profiled step is the bench step
         import bench
 
         fn, state, args = bench._make_cltr_state(batch)
-        for _ in range(2):
-            state, loss = fn(state, *args)
-            float(loss)
-        with profile_trace(log_dir):
-            for _ in range(steps):
-                state, loss = fn(state, *args)
-            float(loss)
+        _warmup_and_trace(fn, state, args, steps, log_dir)
         return
     if model_name == "transunet":
         from unet_torch_tpu.models.transunet import build_transunet
@@ -57,13 +69,7 @@ def run_steps(batch: int, steps: int, log_dir: str, remat: bool = False,
 
         fn, state, args = bench._make_unet_state(batch, jnp.bfloat16,
                                                  fused_head=True)
-        for _ in range(2):
-            state, loss = fn(state, *args)
-            float(loss)
-        with profile_trace(log_dir):
-            for _ in range(steps):
-                state, loss = fn(state, *args)
-            float(loss)
+        _warmup_and_trace(fn, state, args, steps, log_dir)
         return
     else:
         model = UNet(3, 3, 64, remat=remat, fold=fold, dtype=jnp.bfloat16)
@@ -76,13 +82,7 @@ def run_steps(batch: int, steps: int, log_dir: str, remat: bool = False,
                               variables.get("batch_stats", {}), tx)
     step, _ = make_single_steps(model, tx, "CE", "CE", 3)
     key = jax.random.key(1)
-    for _ in range(2):
-        state, loss = step(state, x, y, 1e-3, key)
-        float(loss)
-    with profile_trace(log_dir):
-        for _ in range(steps):
-            state, loss = step(state, x, y, 1e-3, key)
-        float(loss)
+    _warmup_and_trace(step, state, (x, y, 1e-3, key), steps, log_dir)
 
 
 def parse_trace(log_dir: str, steps: int, top: int = 40):

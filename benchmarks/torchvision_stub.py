@@ -160,6 +160,39 @@ def install():
     misc_mod = types.ModuleType("torchvision.ops.misc")
     ops.boxes = boxes_mod
     ops.misc = misc_mod
+    # transforms stand-in: the reference eval scripts import
+    # `torchvision.transforms` / `transforms.functional as TF` at module
+    # level but the accumulator classes under test never call them — a
+    # ToTensor good enough for the preprocess() path is provided anyway.
+    transforms = types.ModuleType("torchvision.transforms")
+
+    class ToTensor:
+        def __call__(self, pic):
+            import numpy as _np
+
+            import torch as _torch
+
+            arr = _np.asarray(pic)
+            if arr.ndim == 2:
+                arr = arr[None]
+            else:
+                arr = arr.transpose(2, 0, 1)
+            return _torch.from_numpy(arr.astype(_np.float32) / 255.0)
+
+    transforms.ToTensor = ToTensor
+
+    def _compose(fns, x):
+        for f in fns:
+            x = f(x)
+        return x
+
+    transforms.Compose = lambda fns: (lambda x: _compose(fns, x))
+    tf_functional = types.ModuleType("torchvision.transforms.functional")
+    transforms.functional = tf_functional
+    tv.transforms = transforms
+    sys.modules["torchvision.transforms"] = transforms
+    sys.modules["torchvision.transforms.functional"] = tf_functional
+
     tv.models = models
     tv.ops = ops
     sys.modules["torchvision"] = tv

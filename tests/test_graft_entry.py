@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 
 def test_entry_compiles():
@@ -13,6 +14,7 @@ def test_entry_compiles():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow  # 262 s — duplicates the driver's own per-round dryrun
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
 

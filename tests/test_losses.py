@@ -243,3 +243,27 @@ def test_dice_bce_mc_planes_matches_generic_composition():
         g1 = jax.grad(lambda p: dice_bce_mc_loss(p, tgt, n))(pred)
         g2 = jax.grad(generic)(pred)
         assert float(jnp.max(jnp.abs(g1 - g2))) < 1e-6
+
+
+def test_binary_dice_ignore_index_matches_reference():
+    """ignore_index masks target==ignore_index pixels out of both tensors
+    before the dice sums — oracle is the reference BinaryDiceLoss executed
+    from /root/reference (loss.py:254-307)."""
+    import sys
+
+    from unet_torch_tpu.losses.functional import binary_dice_loss
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from loss import BinaryDiceLoss as RefBinaryDice
+
+    tgt = TGT_BIN.copy()
+    tgt[:, :4] = 255.0  # a band of ignored pixels
+    ours = float(binary_dice_loss(jnp.asarray(PRED_BIN), jnp.asarray(tgt),
+                                  ignore_index=255))
+    ref = RefBinaryDice(ignore_index=255)(
+        to_torch_nchw(PRED_BIN).squeeze(1), torch.from_numpy(tgt))
+    assert np.isclose(ours, ref.item(), atol=1e-5)
+    # and the masking changes the value (the band isn't a no-op)
+    plain = float(binary_dice_loss(jnp.asarray(PRED_BIN), jnp.asarray(tgt)))
+    assert not np.isclose(ours, plain, atol=1e-4)

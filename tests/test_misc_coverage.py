@@ -108,3 +108,91 @@ def test_shipped_example_configs_parse():
         cfg = Config.from_dict(yaml.safe_load(open(p)))
         assert cfg.model.model_type in known, p
         assert cfg.train.batch_size >= 1, p
+
+
+def test_noise_filtering_matches_reference_oracle():
+    """Size-filter parity with the reference NoiseFiltering (test.py:27-40)
+    executed with a real connected-components label().  Includes a
+    diagonal-touching component (8-connectivity: one component, so its
+    combined size survives the threshold)."""
+    import sys
+    import types
+
+    import cv2
+
+    from unet_torch_tpu.eval.reports import noise_filtering
+
+    def cv2_label(binary):
+        n, lbl = cv2.connectedComponents(binary.astype(np.uint8),
+                                         connectivity=8)
+        return lbl
+
+    from test_reports_vs_reference import _install_ref_stubs
+
+    _install_ref_stubs()  # torchvision/tqdm/... so `import test` resolves
+    fake_measure = types.ModuleType("skimage.measure")
+    fake_measure.label = cv2_label
+    fake_skimage = types.ModuleType("skimage")
+    fake_skimage.measure = fake_measure
+    sys.modules["skimage"] = fake_skimage
+    sys.modules["skimage.measure"] = fake_measure
+    import importlib
+
+    import test as ref_test
+    importlib.reload(ref_test)  # rebind `label` to the real implementation
+
+    rng = np.random.RandomState(11)
+    img = np.zeros((96, 96), np.uint8)
+    img[0:30, 0:30] = 1              # 900 px — kept
+    img[50:53, 50:53] = 1            # 9 px — dropped
+    img[60:70, 60:74] = 2            # 140 px < 150 — dropped
+    img[5:25, 60:80] = 2             # 400 px — kept
+    # two 5x5 squares touching only at a corner: 8-connectivity merges them
+    # into one 50px component (dropped at 150, kept at 40)
+    img[80:85, 80:85] = 1
+    img[85:90, 85:90] = 1
+    for thresh in (40, 150):
+        ours = noise_filtering(img.copy(), thresh=thresh)
+        theirs = ref_test.NoiseFiltering(img.copy(), thresh=thresh)
+        np.testing.assert_array_equal(ours, theirs)
+
+
+def test_postprocess_topk_matches_numpy_oracle():
+    """PostProcess (ref conditional_detr.py:290-322): sigmoid -> top-100 of
+    the flattened (Q*C) prob matrix, query = idx // C, label = idx % C,
+    points scaled to absolute (w, h)."""
+    from unet_torch_tpu.models.cltr.criterion import PostProcess
+
+    rng = np.random.RandomState(4)
+    bsz, q, c = 2, 300, 2
+    logits = rng.randn(bsz, q, c).astype(np.float32) * 3
+    points = rng.rand(bsz, q, 3).astype(np.float32)
+    sizes = [(256, 512), (128, 64)]
+
+    results = PostProcess()({"pred_logits": logits, "pred_points": points},
+                            sizes)
+    assert len(results) == bsz
+    for b in range(bsz):
+        prob = 1 / (1 + np.exp(-logits[b].reshape(-1)))
+        order = np.argsort(-prob)[:100]
+        np.testing.assert_allclose(results[b]["scores"], prob[order],
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(results[b]["labels"], order % c)
+        h, w = sizes[b]
+        expect = points[b, order // c][:, :2] * np.array([w, h])
+        np.testing.assert_allclose(results[b]["points"], expect, rtol=1e-6)
+        assert results[b]["scores"].shape == (100,)
+        # scores sorted descending (torch.topk contract)
+        assert (np.diff(results[b]["scores"]) <= 1e-9).all()
+
+
+def test_postprocess_fewer_than_k_candidates():
+    """k = min(100, Q*C): a 30-query model returns all 60 candidates."""
+    from unet_torch_tpu.models.cltr.criterion import PostProcess
+
+    rng = np.random.RandomState(5)
+    logits = rng.randn(1, 30, 2).astype(np.float32)
+    points = rng.rand(1, 30, 3).astype(np.float32)
+    out = PostProcess()({"pred_logits": logits, "pred_points": points},
+                        [(64, 64)])
+    assert out[0]["scores"].shape == (60,)

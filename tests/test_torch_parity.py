@@ -117,3 +117,39 @@ def test_unet_multitask_import_matches_torch():
     np.testing.assert_allclose(np.asarray(o2),
                                t2.numpy().transpose(0, 2, 3, 1), atol=2e-4,
                                rtol=1e-3)
+
+
+def test_unet_attention_forward_matches_torch():
+    """UNet_attention pixel parity with transplanted reference weights
+    (Model.py:294-391 incl. the Attention_block gate math :257-291)."""
+    import torch
+
+    sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
+    sys.path.insert(0, "/root/reference")
+    from Model import UNet_attention as TorchAtt
+
+    import jax
+    import jax.numpy as jnp
+
+    from unet_torch_tpu.ckpt.torch_import import load_torch_unet_attention
+    from unet_torch_tpu.models.unet import UNetAttention
+
+    torch.manual_seed(2)
+    theirs_model = TorchAtt(3, 3, 8, usa_cuda=False)
+    theirs_model.eval()
+
+    model = UNetAttention(3, 3, base=8)
+    x_np = np.random.RandomState(3).randn(2, 64, 64, 3).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.asarray(x_np), train=False)
+    params, batch_stats = load_torch_unet_attention(
+        theirs_model.state_dict(), variables["params"],
+        variables["batch_stats"])
+
+    ours = np.asarray(model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(x_np), train=False))
+    with torch.no_grad():
+        theirs = theirs_model(
+            torch.from_numpy(x_np.transpose(0, 3, 1, 2))
+        ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=1e-3)

@@ -186,3 +186,35 @@ def test_transunet_multitask_em_six_heads():
     assert len(outs) == 6
     for o in outs:
         assert o.shape == (1, 64, 64, 1)
+
+
+def test_vis_attention_weights_sowed():
+    """vis=True exposes per-layer pre-dropout attention probs
+    (ref vit_seg_modeling.py:88-90,242-244) via the Flax intermediates
+    collection, in the reference's (B, heads, N, N) layout; rows sum to 1,
+    and the segmentation output is unchanged vs vis=False."""
+    c = small_r50_config()
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3),
+                    jnp.float32)
+
+    base = VisionTransformer(c, img_size=64, num_classes=3)
+    variables = base.init(jax.random.key(0), x, train=False)
+
+    vis_model = VisionTransformer(c, img_size=64, num_classes=3, vis=True)
+    out, state = vis_model.apply(variables, x, train=False,
+                                 mutable=["intermediates"])
+
+    # dig out every sowed attn_weights leaf
+    leaves = [v for p, v in jax.tree_util.tree_leaves_with_path(
+        state["intermediates"])]
+    n_layers = c.transformer.num_layers
+    assert len(leaves) == n_layers
+    n_tokens = (64 // 16) ** 2
+    for w in leaves:
+        assert w.shape == (1, c.transformer.num_heads, n_tokens, n_tokens)
+        np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, atol=1e-5)
+
+    # the vis path (einsum attention) must match the default path's output
+    ref_out = base.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-4)

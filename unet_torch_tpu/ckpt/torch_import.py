@@ -257,3 +257,56 @@ def load_torch_unet(state_dict, params, batch_stats, heads=("",)):
         dec_p["outc"]["Conv_0"]["bias"] = np.asarray(
             sd[f"outc{suffix}.conv.bias"])
     return params, batch_stats
+
+
+def load_torch_unet_attention(state_dict, params, batch_stats):
+    """Map a reference UNet_attention state_dict (Model.py:294-391) into the
+    trees created by our models/unet.py::UNetAttention.init.
+
+    Encoder and up/outc blocks share the plain-UNet layout; each
+    Attention_block (Model.py:257-291) contributes an up-ConvTranspose plus
+    three (1x1 conv + BN) projections (W_q / W_x / psi) mapped onto our
+    nn/blocks.py::AttentionGate submodule names.
+    """
+    import jax
+
+    sd = {k: (v.detach().numpy() if hasattr(v, "detach") else np.asarray(v))
+          for k, v in state_dict.items()}
+    params = jax.tree_util.tree_map(np.asarray, params)
+    batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats)
+
+    enc_p, enc_b = params["encoder"], batch_stats["encoder"]
+    _copy_doubleconv(sd, "inc.double_conv", enc_p["inc"], enc_b["inc"])
+    for i in range(1, 5):
+        _copy_doubleconv(sd, f"down{i}.maxpool_conv.1.double_conv",
+                         enc_p[f"down{i}"]["DoubleConv_0"],
+                         enc_b[f"down{i}"]["DoubleConv_0"])
+
+    for i in range(1, 5):
+        up = params[f"up{i}"]
+        up["ConvTranspose_0"]["kernel"] = _convT(sd[f"up{i}.up.weight"])
+        up["ConvTranspose_0"]["bias"] = np.asarray(sd[f"up{i}.up.bias"])
+        _copy_doubleconv(sd, f"up{i}.conv.double_conv",
+                         up["DoubleConv_0"],
+                         batch_stats[f"up{i}"]["DoubleConv_0"])
+    params["outc"]["Conv_0"]["kernel"] = _conv(sd["outc.conv.weight"])
+    params["outc"]["Conv_0"]["bias"] = np.asarray(sd["outc.conv.bias"])
+
+    # attention gates: ref names them 'attenion{1..4}' (sic, Model.py:324)
+    for i in range(1, 5):
+        src = f"attenion{i}"
+        gp, gb = params[f"att{i}"], batch_stats[f"att{i}"]
+        gp["ConvTranspose_0"]["kernel"] = _convT(sd[f"{src}.up.weight"])
+        gp["ConvTranspose_0"]["bias"] = np.asarray(sd[f"{src}.up.bias"])
+        for ours, theirs in (("W_q", "W_q"), ("W_x", "W_x"), ("psi", "psi")):
+            gp[f"{ours}_conv"]["kernel"] = _conv(sd[f"{src}.{theirs}.0.weight"])
+            gp[f"{ours}_conv"]["bias"] = np.asarray(
+                sd[f"{src}.{theirs}.0.bias"])
+            gp[f"{ours}_bn"]["scale"] = np.asarray(
+                sd[f"{src}.{theirs}.1.weight"])
+            gp[f"{ours}_bn"]["bias"] = np.asarray(sd[f"{src}.{theirs}.1.bias"])
+            gb[f"{ours}_bn"]["mean"] = np.asarray(
+                sd[f"{src}.{theirs}.1.running_mean"])
+            gb[f"{ours}_bn"]["var"] = np.asarray(
+                sd[f"{src}.{theirs}.1.running_var"])
+    return params, batch_stats

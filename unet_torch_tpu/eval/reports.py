@@ -595,8 +595,14 @@ class Results3Class:
             return round(sum(v) / max(len(v), 1), 4)
 
         self.performace_results = {
-            "precision": round(precision, 4) * 100,
-            "recall": round(recall, 4) * 100,
+            # the reference's class loop SHADOWS its global precision/recall
+            # before building this dict (test_mc3serousv5.py:341-343,348), so
+            # its results.csv 'precision'/'recall' are the LAST class's
+            # (tumor) values while 'f1' still uses the pre-loop globals —
+            # replicated verbatim as part of the artifact contract
+            # (tests/test_reports_vs_reference.py pins it)
+            "precision": classP[-1] * 100,
+            "recall": classR[-1] * 100,
             "f1": round(f1score, 4) * 100,
             "mean Precision": round(float(meanPrecision), 4) * 100,
             "mean Recall": round(float(meanRecall), 4) * 100,
@@ -838,7 +844,10 @@ class ResultsCC:
                 np.std(self.Pred) > 0:
             pearson = pearsonr(self.GT, self.Pred)[0]
         else:
-            pearson = 0.0
+            # the reference's unguarded pearsonr returns NaN on constant
+            # input (test.py:289) and pandas serialises it as an empty
+            # cell — keep that exact artifact contract
+            pearson = float("nan")
         self.arr_f1 /= n
         self.arr_prec /= n
         self.arr_recall /= n

@@ -143,12 +143,20 @@ def multiclass_dice_loss(pred, target, num_classes, weights=None, softmax=False)
 
 
 def binary_dice_loss(pred, target, smooth: float = 1.0, use_sigmoid: bool = True,
-                     batch_dice: bool = False):
-    """BinaryDiceLoss (loss.py:254-307): per-sample flattened dice, smooth=1."""
+                     batch_dice: bool = False, ignore_index=None):
+    """BinaryDiceLoss (loss.py:254-307): per-sample flattened dice, smooth=1.
+
+    ``ignore_index`` masks pixels whose *target* equals it out of both
+    prediction and target before the dice sums (loss.py:284-287) — a static
+    Python value so the masking compiles away entirely when unused."""
     p = _squeeze_last(pred)
     if use_sigmoid:
         p = jax.nn.sigmoid(p)
     t = target.astype(p.dtype)
+    if ignore_index is not None:
+        valid = (target != ignore_index).astype(p.dtype)
+        p = p * valid
+        t = t * valid
     dim0 = 1 if batch_dice else p.shape[0]
     p = p.reshape(dim0, -1)
     t = t.reshape(dim0, -1)

@@ -70,12 +70,23 @@ def _resize_align_corners(x, out_h, out_w):
 
 
 class Attention(nn.Module):
-    """ref :50-94 — per-head scaled dot-product, joint QKV on the MXU."""
+    """ref :50-94 — per-head scaled dot-product, joint QKV on the MXU.
+
+    ``vis=True`` mirrors the reference's attention-weights return
+    (vit_seg_modeling.py:88-90,242-244): the pre-dropout softmax probs are
+    sowed into the ``intermediates`` collection as ``attn_weights`` with the
+    reference's (B, heads, N, N) layout — retrieve with
+    ``model.apply(vars, x, mutable=["intermediates"])``.  The sow-based
+    design keeps every __call__ signature unchanged (no (out, weights)
+    tuples threaded through Block/Encoder) and costs nothing when vis=False;
+    materialising the probs is inherently incompatible with the flash
+    kernel, so vis=True routes through the einsum path."""
 
     num_heads: int
     hidden_size: int
     attention_dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    vis: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool):
@@ -97,7 +108,15 @@ class Attention(nn.Module):
             fused_attention,
         )
 
-        if train and _use_pallas_default():
+        if self.vis:
+            scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) / math.sqrt(d_head)
+            probs = jax.nn.softmax(scores, axis=-1)
+            self.sow("intermediates", "attn_weights", probs)
+            if self.attention_dropout_rate and train:
+                probs = TPUDropout(self.attention_dropout_rate,
+                                   deterministic=False)(probs)
+            ctx = jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+        elif train and _use_pallas_default():
             # flash forward AND flash backward (two-pass score recompute in
             # VMEM) — the differentiated einsum backward materialised four
             # (B,12,1024,1024) tensors per layer in HBM.  rate==0 skips the
@@ -156,6 +175,7 @@ class Block(nn.Module):
 
     config: Any
     dtype: jnp.dtype = jnp.float32
+    vis: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool):
@@ -165,7 +185,7 @@ class Block(nn.Module):
                          name="attention_norm")(x)
         x = Attention(c.transformer.num_heads, c.hidden_size,
                       c.transformer.attention_dropout_rate, dtype=self.dtype,
-                      name="attn")(x, train=train)
+                      vis=self.vis, name="attn")(x, train=train)
         x = x + h
         h = x
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ffn_norm")(x)
@@ -215,11 +235,12 @@ class Encoder(nn.Module):
 
     config: Any
     dtype: jnp.dtype = jnp.float32
+    vis: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         for i in range(self.config.transformer.num_layers):
-            x = Block(self.config, dtype=self.dtype,
+            x = Block(self.config, dtype=self.dtype, vis=self.vis,
                       name=f"encoderblock_{i}")(x, train=train)
         return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                             name="encoder_norm")(x)
@@ -444,14 +465,15 @@ class Transformer(nn.Module):
     config: Any
     img_size: int
     dtype: jnp.dtype = jnp.float32
+    vis: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         emb, features = Embeddings(self.config, self.img_size,
                                    dtype=self.dtype, name="embeddings")(
             x, train=train)
-        encoded = Encoder(self.config, dtype=self.dtype, name="encoder")(
-            emb, train=train)
+        encoded = Encoder(self.config, dtype=self.dtype, vis=self.vis,
+                          name="encoder")(emb, train=train)
         return encoded, features
 
 
@@ -462,13 +484,14 @@ class VisionTransformer(nn.Module):
     img_size: int = 224
     num_classes: int = 2
     dtype: jnp.dtype = jnp.float32
+    vis: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         if x.shape[-1] == 1:  # gray -> RGB repeat (ref :387-388)
             x = jnp.repeat(x, 3, axis=-1)
         encoded, features = Transformer(self.config, self.img_size,
-                                        dtype=self.dtype,
+                                        dtype=self.dtype, vis=self.vis,
                                         name="transformer")(x, train=train)
         fold = _tail_fold_factor(self.config, self.img_size)
         x = DecoderCup(self.config, dtype=self.dtype, fold_tail=fold,
