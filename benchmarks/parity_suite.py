@@ -129,6 +129,73 @@ def mc_ours(train, val, epochs, base, lr, batch, seed, dtype="float32",
     return dice_multiclass(pred, vy, 3)
 
 
+# ------------------------------------------------------ UNet_attention dice
+
+def att_torch(train, val, epochs, base, lr, batch, seed):
+    """Reference UNet_attention (Model.py:294-391) trained-outcome arm —
+    the reference never constructs it from its CLI (train.py:267-271 bug),
+    but the class itself is trainable."""
+    import torch
+
+    _torch_setup()
+    import loss as ref_loss
+    from Model import UNet_attention as TorchUNetAttention
+
+    ref_loss.CLASS_NUMBER = 3
+    torch.manual_seed(seed)
+    (xs, ys), (vx, vy) = train, val
+    model = TorchUNetAttention(3, 3, base, usa_cuda=False)
+    opt = torch.optim.Adam(model.parameters(), lr=lr, weight_decay=1e-4)
+    xs_t = torch.from_numpy(xs.transpose(0, 3, 1, 2))
+    ys_t = torch.from_numpy(ys).float()
+    model.train()
+    for _ in range(epochs):
+        perm = torch.randperm(len(xs_t))
+        for i in range(0, len(xs_t), batch):
+            idx = perm[i:i + batch]
+            opt.zero_grad()
+            ref_loss.calc_loss(model(xs_t[idx]), ys_t[idx],
+                               loss_type="dice_bce_mc").backward()
+            opt.step()
+    model.eval()
+    with torch.no_grad():
+        pred = model(torch.from_numpy(vx.transpose(0, 3, 1, 2))).argmax(1)
+    return dice_multiclass(pred.numpy(), vy, 3)
+
+
+def att_ours(train, val, epochs, base, lr, batch, seed):
+    import jax
+    import jax.numpy as jnp
+
+    from unet_torch_tpu.models.unet import UNetAttention
+    from unet_torch_tpu.train.optim import make_optimizer
+    from unet_torch_tpu.train.state import TrainState
+    from unet_torch_tpu.train.steps import make_single_steps
+
+    (xs, ys), (vx, vy) = train, val
+    model = UNetAttention(3, 3, base)
+    tx = make_optimizer("Adam", lr, 1e-4)
+    variables = model.init(jax.random.key(seed), jnp.asarray(xs[:1]),
+                           train=False)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    step, _ = make_single_steps(model, tx, "dice_bce_mc", "dice_bce_mc", 3)
+    rng = np.random.RandomState(seed)
+    key = jax.random.key(seed + 1)
+    for _ in range(epochs):
+        perm = rng.permutation(len(xs))
+        for i in range(0, len(xs), batch):
+            idx = perm[i:i + batch]
+            key, sub = jax.random.split(key)
+            state, _ = step(state, jnp.asarray(xs[idx]),
+                            jnp.asarray(ys[idx], jnp.float32), lr, sub)
+    out = model.apply({"params": state.params,
+                       "batch_stats": state.batch_stats},
+                      jnp.asarray(vx), train=False)
+    pred = np.argmax(np.asarray(out, np.float32), axis=-1)
+    return dice_multiclass(pred, vy, 3)
+
+
 # ---------------------------------------------------------------- multitask MAE
 
 def _count_mae(pred1, pred2, y1, y2):
@@ -404,6 +471,26 @@ def main():
             "per_seed_torch": [round(v, 4) for v in ref],
             "per_seed_ours": [round(v, 4) for v in ours]}
         print("mc:", json.dumps(results["mc_dice_bce_mc"]), flush=True)
+
+    if "unet_attention" in wanted:
+        train, val = make_data(n_train=32, n_val=48)
+        ref = [att_torch(train, val, args.epochs, args.base, args.lr,
+                         args.batch, s) for s in seeds]
+        ours = [att_ours(train, val, args.epochs, args.base, args.lr,
+                         args.batch, s) for s in seeds]
+        results["unet_attention_dice_bce_mc"] = {
+            "note": "reference UNet_attention (Model.py:294-391) — never "
+                    "reachable from the ref CLI (train.py:267-271 bug), "
+                    "trained here directly; ours: models/unet.py::"
+                    "UNetAttention",
+            "torch_dice": round(float(np.mean(ref)), 4),
+            "ours_dice": round(float(np.mean(ours)), 4),
+            "abs_gap": round(abs(float(np.mean(ref)) -
+                                 float(np.mean(ours))), 4),
+            "per_seed_torch": [round(v, 4) for v in ref],
+            "per_seed_ours": [round(v, 4) for v in ours]}
+        print("unet_attention:",
+              json.dumps(results["unet_attention_dice_bce_mc"]), flush=True)
 
     if "multitask" in wanted:
         train, val = make_density_data()

@@ -175,7 +175,7 @@ def test_flash_attention_grad_matches_reference():
         return jnp.sum(attention_reference(q, k, v, scale) ** 2)
 
     def f_flash(q, k, v):
-        return jnp.sum(_attention_flash_diff(q, k, v, scale, True) ** 2)
+        return jnp.sum(_attention_flash_diff(q, k, v, scale, True, False) ** 2)
 
     g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
@@ -213,8 +213,8 @@ def test_masked_attention_kernels_match_reference():
         return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v)
 
     expect = ref(q, k, v)
-    got_w = _attention_masked_diff(q, k, v, bias, scale, True)
-    got_f = _attention_flash_masked_diff(q, k, v, bias, scale, True)
+    got_w = _attention_masked_diff(q, k, v, bias, scale, True, False)
+    got_f = _attention_flash_masked_diff(q, k, v, bias, scale, True, False)
     np.testing.assert_allclose(np.asarray(got_w), np.asarray(expect),
                                rtol=1e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(got_f), np.asarray(expect),
@@ -222,7 +222,7 @@ def test_masked_attention_kernels_match_reference():
 
     g_ref = jax.grad(lambda *a: jnp.sum(ref(*a) ** 2), (0, 1, 2))(q, k, v)
     g_w = jax.grad(lambda *a: jnp.sum(
-        _attention_masked_diff(*a, bias, scale, True) ** 2), (0, 1, 2))(
+        _attention_masked_diff(*a, bias, scale, True, False) ** 2), (0, 1, 2))(
         q, k, v)
     for a, e in zip(g_w, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
@@ -355,11 +355,80 @@ def test_kernel_flop_accounting_tallies_trace_time():
 
     with count_kernel_flops() as tally:
         jax.jit(jax.grad(loss, argnums=(0, 1, 2))).lower(q, k, v)
-    # nq pads to 16 (bq=16), nk pads to 128 (bk=128)
+    # nq pads to 16 (bq=16), nk pads to 128 (bk=128); the backward is the
+    # merged single-pass kernel (5 dots: 3 over dqk, 2 over dv)
     assert tally["dropout_flash_fwd"] == 2 * b * h * 16 * 128 * (d + d)
-    assert tally["dropout_flash_bwd"] == 2 * b * h * 16 * 128 * (4 * d + 3 * d)
+    assert tally["dropout_flash_bwd1"] == 2 * b * h * 16 * 128 * (3 * d + 2 * d)
 
     from unet_torch_tpu.kernels import accounting
 
     assert accounting._TALLY is None  # restored; record() outside is a no-op
     accounting.record("x", 1.0)
+
+
+def test_dropout_flash_bwd_merged_matches_twopass():
+    """The single-pass backward (_dropout_flash_bwd1: dk/dv in a persistent
+    whole-K scratch, one s/dp recompute) is bit-identical to the two-pass
+    control across asymmetric shapes, ragged padding, and dropout rates
+    (interpret mode: the counter-hash mask is identical by construction)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unet_torch_tpu.kernels import attention as A
+
+    rng = np.random.RandomState(0)
+    for (b, h, nq, nk, d, dvd, rate) in [(2, 2, 300, 300, 32, 32, 0.1),
+                                         (1, 2, 260, 140, 64, 64, 0.0),
+                                         (2, 1, 128, 512, 64, 32, 0.25)]:
+        q = jnp.asarray(rng.randn(b, h, nq, d), jnp.float32)
+        k = jnp.asarray(rng.randn(b, h, nk, d), jnp.float32)
+        v = jnp.asarray(rng.randn(b, h, nk, dvd), jnp.float32)
+        g = jnp.asarray(rng.randn(b, h, nq, dvd), jnp.float32)
+        seed = jnp.uint32(9)
+        scale = d ** -0.5
+        # explicit small blocks: _dfa_blocks would give nkt==1 for every
+        # shape this size — force the true multi-tile (online-softmax fwd,
+        # k-loop bwd) paths the CLTR decoder runs on chip (nk=2048, nkt=2)
+        bq, bk = 64, 128
+        out, lse = A._dropout_flash_fwd(q, k, v, seed, scale, rate,
+                                        block_q=bq, block_k=bk,
+                                        interpret=True)
+        # fwd vs einsum oracle with the shared counter-hash mask
+        nk_p = A._ceil_to(nk, bk)
+        thr = min(int(rate * 2 ** 32), 2 ** 32 - 1)
+        mask = jnp.stack([
+            A._dropout_keep(seed, jnp.uint32(bh), 0, 0, (nq, nk), nk_p, thr)
+            for bh in range(b * h)]).astype(jnp.float32).reshape(b, h, nq, nk)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        if thr:
+            p = p * mask / (1.0 - rate)
+        ref = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        np.testing.assert_allclose(
+            np.asarray(out[:, :nq].reshape(b, h, nq, dvd)),
+            np.asarray(ref), atol=1e-5)
+        nq_p = lse.shape[1]
+        dterm = jnp.einsum("bhqd,bhqd->bhq", g,
+                           out[:, :nq].reshape(b, h, nq, dvd)
+                           ).reshape(b * h, nq)
+        if nq_p != nq:
+            dterm = jnp.pad(dterm, ((0, 0), (0, nq_p - nq)))
+        dterm = jnp.broadcast_to(dterm[..., None], dterm.shape + (8,))
+        args = (q, k, v, seed, lse, dterm, g)
+        r2 = A._dropout_flash_bwd(*args, scale, rate, block_q=bq,
+                                  block_k=bk, interpret=True)
+        r1 = A._dropout_flash_bwd1(*args, scale, rate, block_q=bq,
+                                   block_k=bk, interpret=True)
+        for a, b_ in zip(r1, r2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=1e-5)
+
+
+def test_merged_bwd_vmem_gate():
+    """_dfa_bwd falls back to the two-pass kernel when the (nk_p, d)
+    persistent scratches would blow VMEM (kernels/attention.py)."""
+    from unet_torch_tpu.kernels.attention import _merged_bwd_fits
+
+    assert _merged_bwd_fits(2000, 2000, 32, 32, 512, 1024)   # CLTR decoder
+    assert _merged_bwd_fits(1024, 1024, 64, 64, 512, 1024)   # ViT-B 512px
+    assert not _merged_bwd_fits(8192, 8192, 64, 64, 512, 1024)

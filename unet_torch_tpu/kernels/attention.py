@@ -20,11 +20,33 @@ correctness oracle in tests.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 from unet_torch_tpu.kernels import accounting
+
+# MXU dot operand precision for the attention kernels.  The r8 A/B
+# (benchmarks/r8_attn_ab.py, r8b_attn_scan.py) measured that inside Pallas,
+# `convert(bf16->f32); dot(..., preferred=f32)` and bf16-operand dots are
+# BIT-IDENTICAL on the real chip and time-identical (Mosaic lowers both to
+# the same bf16 MXU passes with f32 accumulation) — so this flag changes
+# nothing on TPU silicon and exists as (a) documentation of that measured
+# negative, and (b) an interpret-mode control (on CPU the f32 upcast is a
+# genuine precision difference).  f32_dots=False (the default) keeps the
+# kernels' dot operands in their storage dtype, which is what the hardware
+# executes either way; UNET_TPU_ATTN_F32_DOTS=1 restores the explicit
+# upcast.
+_F32_DOTS_ENV = os.environ.get("UNET_TPU_ATTN_F32_DOTS", "0") == "1"
+
+# Set UNET_TPU_ATTN_BWD2=1 to force the two-pass flash backward (the r8
+# control path) instead of the merged single-pass backward.
+_BWD2_ENV = os.environ.get("UNET_TPU_ATTN_BWD2", "0") == "1"
+
+
+def _resolve_f32_dots(flag):
+    return _F32_DOTS_ENV if flag is None else bool(flag)
 
 
 def _use_pallas_default() -> bool:
@@ -41,8 +63,10 @@ def attention_reference(q, k, v, scale):
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def _attention_pallas(q, k, v, scale, bias=None, interpret=False):
+@functools.partial(jax.jit, static_argnames=("scale", "interpret",
+                                             "f32_dots"))
+def _attention_pallas(q, k, v, scale, bias=None, interpret=False,
+                      f32_dots=False):
     """Whole-sequence kernel.  ``bias``: optional (B, Nk) additive score bias
     (padding masks encode as -1e30 there), broadcast over heads/queries."""
     from jax.experimental import pallas as pl
@@ -62,8 +86,9 @@ def _attention_pallas(q, k, v, scale, bias=None, interpret=False):
             q_ref, k_ref, v_ref, b_ref, o_ref = refs
         else:
             q_ref, k_ref, v_ref, o_ref = refs
-        qb = q_ref[0].astype(jnp.float32)
-        kb = k_ref[0].astype(jnp.float32)
+        qb, kb = q_ref[0], k_ref[0]
+        if f32_dots:
+            qb, kb = qb.astype(jnp.float32), kb.astype(jnp.float32)
         vb = v_ref[0]
         s = jax.lax.dot_general(
             qb, kb, (((1,), (1,)), ((), ())),
@@ -111,9 +136,9 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
-                                             "interpret"))
+                                             "interpret", "f32_dots"))
 def _attention_flash(q, k, v, scale, bias=None, block_q=256, block_k=512,
-                     interpret=False):
+                     interpret=False, f32_dots=False):
     """Flash-tiled attention: online softmax over Nk tiles, so VMEM holds only
     (block_q x block_k) scores — arbitrary sequence lengths keep the fused
     path (the whole-sequence kernel above is limited to ~10MB of q/k/v+scores).
@@ -159,8 +184,9 @@ def _attention_flash(q, k, v, scale, bias=None, block_q=256, block_k=512,
             l_scr[...] = jnp.zeros_like(l_scr)
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
-        qb = q_ref[0].astype(jnp.float32)
-        kb = k_ref[0].astype(jnp.float32)
+        qb, kb = q_ref[0], k_ref[0]
+        if f32_dots:
+            qb, kb = qb.astype(jnp.float32), kb.astype(jnp.float32)
         s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         if has_bias:
@@ -216,13 +242,15 @@ def _attention_flash(q, k, v, scale, bias=None, block_q=256, block_k=512,
     return out[:, :nq].reshape(b, h, nq, dv)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _attention_pallas_diff(q, k, v, scale, interpret):
-    return _attention_pallas(q, k, v, scale, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _attention_pallas_diff(q, k, v, scale, interpret, f32_dots):
+    return _attention_pallas(q, k, v, scale, interpret=interpret,
+                             f32_dots=f32_dots)
 
 
-def _attention_diff_fwd(q, k, v, scale, interpret):
-    return _attention_pallas(q, k, v, scale, interpret=interpret), (q, k, v)
+def _attention_diff_fwd(q, k, v, scale, interpret, f32_dots):
+    return (_attention_pallas(q, k, v, scale, interpret=interpret,
+                              f32_dots=f32_dots), (q, k, v))
 
 
 def _einsum_bwd(q, k, v, g, scale, bias=None):
@@ -240,7 +268,7 @@ def _einsum_bwd(q, k, v, g, scale, bias=None):
     return dq, dk, dv
 
 
-def _attention_diff_bwd(scale, interpret, res, g):
+def _attention_diff_bwd(scale, interpret, f32_dots, res, g):
     """Pallas forward / einsum backward — pallas_call has no autodiff rule."""
     q, k, v = res
     return _einsum_bwd(q, k, v, g, scale)
@@ -249,52 +277,56 @@ def _attention_diff_bwd(scale, interpret, res, g):
 _attention_pallas_diff.defvjp(_attention_diff_fwd, _attention_diff_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _attention_flash_diff(q, k, v, scale, interpret):
-    return _attention_flash(q, k, v, scale, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _attention_flash_diff(q, k, v, scale, interpret, f32_dots):
+    return _attention_flash(q, k, v, scale, interpret=interpret,
+                            f32_dots=f32_dots)
 
 
-def _attention_flash_fwd(q, k, v, scale, interpret):
-    return _attention_flash(q, k, v, scale, interpret=interpret), (q, k, v)
+def _attention_flash_fwd(q, k, v, scale, interpret, f32_dots):
+    return (_attention_flash(q, k, v, scale, interpret=interpret,
+                             f32_dots=f32_dots), (q, k, v))
 
 
 _attention_flash_diff.defvjp(_attention_flash_fwd, _attention_diff_bwd)
 
 
-def _masked_bwd(scale, interpret, res, g):
+def _masked_bwd(scale, interpret, f32_dots, res, g):
     q, k, v, bias = res
     dq, dk, dv = _einsum_bwd(q, k, v, g, scale, bias=bias)
     return dq, dk, dv, jnp.zeros_like(bias)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _attention_masked_diff(q, k, v, bias, scale, interpret):
-    return _attention_pallas(q, k, v, scale, bias=bias, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _attention_masked_diff(q, k, v, bias, scale, interpret, f32_dots):
+    return _attention_pallas(q, k, v, scale, bias=bias, interpret=interpret,
+                             f32_dots=f32_dots)
 
 
-def _attention_masked_fwd(q, k, v, bias, scale, interpret):
-    return (_attention_pallas(q, k, v, scale, bias=bias,
-                              interpret=interpret), (q, k, v, bias))
+def _attention_masked_fwd(q, k, v, bias, scale, interpret, f32_dots):
+    return (_attention_pallas(q, k, v, scale, bias=bias, interpret=interpret,
+                              f32_dots=f32_dots), (q, k, v, bias))
 
 
 _attention_masked_diff.defvjp(_attention_masked_fwd, _masked_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _attention_flash_masked_diff(q, k, v, bias, scale, interpret):
-    return _attention_flash(q, k, v, scale, bias=bias, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _attention_flash_masked_diff(q, k, v, bias, scale, interpret, f32_dots):
+    return _attention_flash(q, k, v, scale, bias=bias, interpret=interpret,
+                            f32_dots=f32_dots)
 
 
-def _attention_flash_masked_fwd(q, k, v, bias, scale, interpret):
-    return (_attention_flash(q, k, v, scale, bias=bias,
-                             interpret=interpret), (q, k, v, bias))
+def _attention_flash_masked_fwd(q, k, v, bias, scale, interpret, f32_dots):
+    return (_attention_flash(q, k, v, scale, bias=bias, interpret=interpret,
+                             f32_dots=f32_dots), (q, k, v, bias))
 
 
 _attention_flash_masked_diff.defvjp(_attention_flash_masked_fwd, _masked_bwd)
 
 
 def fused_attention(q, k, v, scale=None, key_padding_mask=None,
-                    use_pallas=None, interpret=False):
+                    use_pallas=None, interpret=False, f32_dots=None):
     """q,k: (B,H,N,Dqk); v: (B,H,Nk,Dv) -> (B,H,Nq,Dv).
 
     Differentiable (custom VJP: Pallas forward, einsum backward).  Falls back
@@ -302,6 +334,7 @@ def fused_attention(q, k, v, scale=None, key_padding_mask=None,
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    f32_dots = _resolve_f32_dots(f32_dots)
     flash = False
     if use_pallas is None:
         use_pallas = _use_pallas_default()
@@ -326,11 +359,13 @@ def fused_attention(q, k, v, scale=None, key_padding_mask=None,
         bias = jnp.where(key_padding_mask, -1e30, 0.0).astype(jnp.float32)
         if flash:
             return _attention_flash_masked_diff(q, k, v, bias, float(scale),
-                                                interpret)
-        return _attention_masked_diff(q, k, v, bias, float(scale), interpret)
+                                                interpret, f32_dots)
+        return _attention_masked_diff(q, k, v, bias, float(scale), interpret,
+                                      f32_dots)
     if flash:
-        return _attention_flash_diff(q, k, v, float(scale), interpret)
-    return _attention_pallas_diff(q, k, v, float(scale), interpret)
+        return _attention_flash_diff(q, k, v, float(scale), interpret,
+                                     f32_dots)
+    return _attention_pallas_diff(q, k, v, float(scale), interpret, f32_dots)
 
 
 # ---------------------------------------------------------------------------
@@ -403,9 +438,9 @@ def _dropout_keep(seed, bh, q0, k0, shape, nk_total, thr):
 
 @functools.partial(jax.jit, static_argnames=("scale", "rate", "block_q",
                                              "block_k", "interpret",
-                                             "hw_prng"))
+                                             "hw_prng", "f32_dots"))
 def _dropout_flash_fwd(q, k, v, seed, scale, rate, block_q=256, block_k=512,
-                       interpret=False, hw_prng=False):
+                       interpret=False, hw_prng=False, f32_dots=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -433,24 +468,35 @@ def _dropout_flash_fwd(q, k, v, seed, scale, rate, block_q=256, block_k=512,
                m_scr, l_scr, acc_scr):
         i, qi, ki = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
-        @pl.when(ki == 0)
-        def _init():
-            m_scr[...] = jnp.full_like(m_scr, -1e30)
-            l_scr[...] = jnp.zeros_like(l_scr)
-            acc_scr[...] = jnp.zeros_like(acc_scr)
+        if nkt > 1:
+            @pl.when(ki == 0)
+            def _init():
+                m_scr[...] = jnp.full_like(m_scr, -1e30)
+                l_scr[...] = jnp.zeros_like(l_scr)
+                acc_scr[...] = jnp.zeros_like(acc_scr)
 
-        qb = q_ref[0].astype(jnp.float32)
-        kb = k_ref[0].astype(jnp.float32)
+        qb, kb = q_ref[0], k_ref[0]
+        if f32_dots:
+            qb, kb = qb.astype(jnp.float32), kb.astype(jnp.float32)
         s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < nk, s, -1e30)
 
-        m_prev = m_scr[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        e = jnp.exp(s - m_new)
-        corr = jnp.exp(m_prev - m_new)
-        l_scr[...] = l_scr[...] * corr + jnp.sum(e, axis=-1, keepdims=True)
+        if nkt == 1:
+            # single k-tile (e.g. ViT 512px: nk=1024=bk): plain softmax, no
+            # online-correction state — measured 1.72 -> 1.56 ms at
+            # (8,12,1024,64) (benchmarks/R8C_BWD1_AB.json whole-K vs flash)
+            m_new = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m_new)
+            l_new = jnp.sum(e, axis=-1, keepdims=True)
+        else:
+            m_prev = m_scr[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            e = jnp.exp(s - m_new)
+            corr = jnp.exp(m_prev - m_new)
+            l_scr[...] = (l_scr[...] * corr
+                          + jnp.sum(e, axis=-1, keepdims=True))
 
         if thr > 0:
             keep = _keep_mask(seed_ref, i, qi, ki, bq, bk, s.shape, nqt,
@@ -461,15 +507,19 @@ def _dropout_flash_fwd(q, k, v, seed, scale, rate, block_q=256, block_k=512,
         pv = jax.lax.dot_general(e_drop.astype(v_ref.dtype), v_ref[0],
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if nkt == 1:
+            o_ref[0] = (pv / l_new).astype(o_ref.dtype)
+            # lse replicated over a trailing 8-lane dim: Mosaic requires the
+            # last two block dims to be (8k, 128k) or equal to the array
+            # dims — (1, bq) is illegal, (bq, 8) with minor dim == 8 is fine
+            lse_ref[0] = jnp.broadcast_to(m_new + jnp.log(l_new), (bq, 8))
+            return
         acc_scr[...] = acc_scr[...] * corr + pv
         m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
 
         @pl.when(ki == nkt - 1)
         def _final():
             o_ref[0] = (acc_scr[...] / l_scr[...]).astype(o_ref.dtype)
-            # lse replicated over a trailing 8-lane dim: Mosaic requires the
-            # last two block dims to be (8k, 128k) or equal to the array
-            # dims — (1, bq) is illegal, (bq, 8) with minor dim == 8 is fine
             lse_ref[0] = jnp.broadcast_to(
                 (m_scr[:, :1] + jnp.log(l_scr[:, :1])), (bq, 8))
 
@@ -507,9 +557,10 @@ def _dropout_flash_fwd(q, k, v, seed, scale, rate, block_q=256, block_k=512,
 
 @functools.partial(jax.jit, static_argnames=("scale", "rate", "block_q",
                                              "block_k", "interpret",
-                                             "hw_prng"))
+                                             "hw_prng", "f32_dots"))
 def _dropout_flash_bwd(q, k, v, seed, lse, dly, g, scale, rate, block_q=256,
-                       block_k=512, interpret=False, hw_prng=False):
+                       block_k=512, interpret=False, hw_prng=False,
+                       f32_dots=False):
     """dly: rowwise sum(g * o) (the softmax-backward D term), (BH, nq_p)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -539,9 +590,14 @@ def _dropout_flash_bwd(q, k, v, seed, lse, dly, g, scale, rate, block_q=256,
                       2 * b * h * nq_p * nk_p * (4 * dqk + 3 * dv))
     sd = seed.reshape(1).astype(jnp.uint32)
 
+    # operand dtype for every in-kernel dot: inputs stay in their storage
+    # dtype (bf16 model -> bf16 operands, full MXU rate) with f32
+    # accumulation; f32_dots=True restores the upcast control path
+    odt = jnp.float32 if f32_dots else q.dtype
+
     def recompute(seed_ref, q_ref, k_ref, lse_ref, i, qi, ki):
-        qb = q_ref[0].astype(jnp.float32)
-        kb = k_ref[0].astype(jnp.float32)
+        qb = q_ref[0].astype(odt)
+        kb = k_ref[0].astype(odt)
         s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -564,12 +620,12 @@ def _dropout_flash_bwd(q, k, v, seed, lse, dly, g, scale, rate, block_q=256,
             dv_scr[...] = jnp.zeros_like(dv_scr)
 
         p, keep = recompute(seed_ref, q_ref, k_ref, lse_ref, i, qi, ki)
-        gb = g_ref[0].astype(jnp.float32)
-        vb = v_ref[0].astype(jnp.float32)
+        gb = g_ref[0].astype(odt)
+        vb = v_ref[0].astype(odt)
         p_drop = p if keep is None else jnp.where(keep, p * inv_keep, 0.0)
         # dv[k, d] = sum_q p_drop[q, k] g[q, d]
         dv_scr[...] += jax.lax.dot_general(
-            p_drop, gb, (((0,), (0,)), ((), ())),
+            p_drop.astype(odt), gb, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(gb, vb, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -578,7 +634,7 @@ def _dropout_flash_bwd(q, k, v, seed, lse, dly, g, scale, rate, block_q=256,
         ds = p * (dp - d_ref[0][:, :1])
         # dk[k, d] = sum_q ds[q, k] q[q, d] * scale
         dk_scr[...] += jax.lax.dot_general(
-            ds, q_ref[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
+            ds.astype(odt), q_ref[0].astype(odt), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
 
         @pl.when(qi == nqt - 1)
@@ -631,15 +687,15 @@ def _dropout_flash_bwd(q, k, v, seed, lse, dly, g, scale, rate, block_q=256,
             dq_scr[...] = jnp.zeros_like(dq_scr)
 
         p, keep = recompute(seed_ref, q_ref, k_ref, lse_ref, i, qi, ki)
-        gb = g_ref[0].astype(jnp.float32)
-        vb = v_ref[0].astype(jnp.float32)
+        gb = g_ref[0].astype(odt)
+        vb = v_ref[0].astype(odt)
         dp = jax.lax.dot_general(gb, vb, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         if keep is not None:
             dp = jnp.where(keep, dp * inv_keep, 0.0)
         ds = p * (dp - d_ref[0][:, :1])
         dq_scr[...] += jax.lax.dot_general(
-            ds, k_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            ds.astype(odt), k_ref[0].astype(odt), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
 
         @pl.when(ki == nkt - 1)
@@ -677,6 +733,167 @@ def _dropout_flash_bwd(q, k, v, seed, lse, dly, g, scale, rate, block_q=256,
     return dq, dk, dvv
 
 
+@functools.partial(jax.jit, static_argnames=("scale", "rate", "block_q",
+                                             "block_k", "interpret",
+                                             "hw_prng", "f32_dots"))
+def _dropout_flash_bwd1(q, k, v, seed, lse, dly, g, scale, rate, block_q=256,
+                        block_k=512, interpret=False, hw_prng=False,
+                        f32_dots=False):
+    """Single-pass flash backward: dq, dk, dv in ONE grid sweep.
+
+    The two-pass backward above recomputes s and dp twice (7 dots + 2 exp
+    sweeps per (q-tile, k-tile) pair); this kernel computes them once
+    (5 dots + 1 exp — 29% fewer contraction cycles) by carrying dq in a
+    per-q-tile scratch (k innermost, flushed at ki==nkt-1, exactly like
+    pass 2) while dk/dv accumulate into a persistent whole-K VMEM scratch
+    (nk_p x d) that lives across the entire (qi, ki) sweep of each bh cell
+    and is flushed through the dk/dv out blocks on the last q sweep.  The
+    dk/dv out blocks are also stored on earlier sweeps (Pallas writes an out
+    block whenever its index changes) — those stores carry garbage that the
+    final qi sweep overwrites; the extra traffic is nqt*nk*d, ~0.1 ms/GB.
+    Only legal when the (nk_p, d) scratches fit VMEM — _merged_bwd_fits
+    gates it; larger shapes fall back to the two-pass kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, nq, dqk = q.shape
+    nk = k.shape[2]
+    dv = v.shape[3]
+    bq = min(block_q, _ceil_to(nq, 8))
+    bk = min(block_k, _ceil_to(nk, 128))
+    nq_p, nk_p = _ceil_to(nq, bq), _ceil_to(nk, bk)
+    qf = q.reshape(b * h, nq, dqk)
+    kf = k.reshape(b * h, nk, dqk)
+    vf = v.reshape(b * h, nk, dv)
+    gf = g.reshape(b * h, nq, dv)
+    if nq_p != nq:
+        qf = jnp.pad(qf, ((0, 0), (0, nq_p - nq), (0, 0)))
+        gf = jnp.pad(gf, ((0, 0), (0, nq_p - nq), (0, 0)))
+    if nk_p != nk:
+        kf = jnp.pad(kf, ((0, 0), (0, nk_p - nk), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, nk_p - nk), (0, 0)))
+    nqt, nkt = nq_p // bq, nk_p // bk
+    thr = min(int(rate * 2 ** 32), 2 ** 32 - 1)
+    inv_keep = 1.0 / (1.0 - rate)
+    accounting.record("dropout_flash_bwd1",
+                      2 * b * h * nq_p * nk_p * (3 * dqk + 2 * dv))
+    sd = seed.reshape(1).astype(jnp.uint32)
+    odt = jnp.float32 if f32_dots else q.dtype
+
+    def kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, lse_ref, d_ref,
+               dq_ref, dk_ref, dv_ref, dq_scr, dka_scr, dva_scr):
+        i, qi, ki = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+        @pl.when(ki == 0)
+        def _init_q():
+            dq_scr[...] = jnp.zeros_like(dq_scr)
+
+        @pl.when(jnp.logical_and(qi == 0, ki == 0))
+        def _init_kv():
+            dka_scr[...] = jnp.zeros_like(dka_scr)
+            dva_scr[...] = jnp.zeros_like(dva_scr)
+
+        qb = q_ref[0].astype(odt)
+        kb = k_ref[0].astype(odt)
+        s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < nk, s, -1e30)
+        p = jnp.exp(s - lse_ref[0][:, :1])
+        keep = None
+        if thr > 0:
+            keep = _keep_mask(seed_ref, i, qi, ki, bq, bk, s.shape, nqt,
+                              nkt, nk_p, thr, hw_prng)
+
+        gb = g_ref[0].astype(odt)
+        vb = v_ref[0].astype(odt)
+        p_drop = p if keep is None else jnp.where(keep, p * inv_keep, 0.0)
+        ks = pl.dslice(ki * bk, bk)
+        # dv[k, d] = sum_q p_drop[q, k] g[q, d]
+        dva_scr[ks, :] += jax.lax.dot_general(
+            p_drop.astype(odt), gb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(gb, vb, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if keep is not None:
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
+        ds = p * (dp - d_ref[0][:, :1])
+        # dk[k, d] = sum_q ds[q, k] q[q, d] * scale
+        dka_scr[ks, :] += jax.lax.dot_general(
+            ds.astype(odt), qb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dq_scr[...] += jax.lax.dot_general(
+            ds.astype(odt), kb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+        @pl.when(ki == nkt - 1)
+        def _flush_q():
+            dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+        @pl.when(qi == nqt - 1)
+        def _flush_kv():
+            dk_ref[0] = dka_scr[ks, :].astype(dk_ref.dtype)
+            dv_ref[0] = dva_scr[ks, :].astype(dv_ref.dtype)
+
+    dq, dk, dvv = pl.pallas_call(
+        kernel,
+        grid=(b * h, nqt, nkt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, dqk), lambda i, qi, ki: (i, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dqk), lambda i, qi, ki: (i, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dv), lambda i, qi, ki: (i, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, dv), lambda i, qi, ki: (i, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 8), lambda i, qi, ki: (i, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 8), lambda i, qi, ki: (i, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, dqk), lambda i, qi, ki: (i, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dqk), lambda i, qi, ki: (i, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dv), lambda i, qi, ki: (i, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, nq_p, dqk), q.dtype),
+            jax.ShapeDtypeStruct((b * h, nk_p, dqk), q.dtype),
+            jax.ShapeDtypeStruct((b * h, nk_p, dv), q.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, dqk), jnp.float32),
+            pltpu.VMEM((nk_p, dqk), jnp.float32),
+            pltpu.VMEM((nk_p, dv), jnp.float32),
+        ],
+        interpret=interpret,
+    )(sd, qf, kf, vf, gf, lse, dly)
+
+    dq = dq[:, :nq].reshape(b, h, nq, dqk)
+    dk = dk[:, :nk].reshape(b, h, nk, dqk)
+    dvv = dvv[:, :nk].reshape(b, h, nk, dv)
+    return dq, dk, dvv
+
+
+def _merged_bwd_fits(nq, nk, dqk, dv, block_q, block_k):
+    """The single-pass backward needs persistent (nk_p, d) f32 scratches;
+    Mosaic pads the lane dim to 128, so budget with padded widths.  Keep the
+    whole working set (scratches + the ~3 live (bq, bk) f32 score tiles)
+    well under the ~16MB VMEM."""
+    bq = min(block_q, _ceil_to(nq, 8))
+    bk = min(block_k, _ceil_to(nk, 128))
+    nk_p = _ceil_to(nk, bk)
+    lane = lambda d: _ceil_to(d, 128)
+    scratch = 4 * (nk_p * (lane(dqk) + lane(dv)) + bq * lane(dqk))
+    tiles = 4 * 3 * bq * bk
+    return scratch + tiles < 12 * 1024 * 1024
+
+
 def _dfa_blocks(nq, nk):
     """Tile-size heuristic: Pallas grid-cell dispatch overhead (~1 us/cell)
     dominated the r4 CLTR kernels at (256, 512) tiles — 2048 fwd cells for
@@ -690,8 +907,9 @@ def _dfa_blocks(nq, nk):
     return bq or 256, bk or 512
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def dropout_flash_attention(q, k, v, seed, scale, rate, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def dropout_flash_attention(q, k, v, seed, scale, rate, interpret=False,
+                            f32_dots=None):
     """Fused train-mode attention with probs dropout, never materialising
     (Nq, Nk) in HBM.  seed: uint32 scalar array; identical seed regenerates
     identical masks (the VJP relies on this).  TPU only — callers fall back
@@ -700,20 +918,22 @@ def dropout_flash_attention(q, k, v, seed, scale, rate, interpret=False):
     hw = (not interpret) and _use_pallas_default()
     out, _lse = _dropout_flash_fwd(q, k, v, seed, scale, rate,
                                    block_q=bq, block_k=bk,
-                                   interpret=interpret, hw_prng=hw)
+                                   interpret=interpret, hw_prng=hw,
+                                   f32_dots=_resolve_f32_dots(f32_dots))
     return out
 
 
-def _dfa_fwd(q, k, v, seed, scale, rate, interpret):
+def _dfa_fwd(q, k, v, seed, scale, rate, interpret, f32_dots):
     bq, bk = _dfa_blocks(q.shape[2], k.shape[2])
     hw = (not interpret) and _use_pallas_default()
     out, lse = _dropout_flash_fwd(q, k, v, seed, scale, rate,
                                   block_q=bq, block_k=bk,
-                                  interpret=interpret, hw_prng=hw)
+                                  interpret=interpret, hw_prng=hw,
+                                  f32_dots=_resolve_f32_dots(f32_dots))
     return out, (q, k, v, seed, out, lse)
 
 
-def _dfa_bwd(scale, rate, interpret, res, g):
+def _dfa_bwd(scale, rate, interpret, f32_dots, res, g):
     q, k, v, seed, out, lse = res
     b, h, nq, _ = q.shape
     nq_p = lse.shape[1]
@@ -724,9 +944,13 @@ def _dfa_bwd(scale, rate, interpret, res, g):
     d = jnp.broadcast_to(d[..., None], d.shape + (8,))  # match lse layout
     bq, bk = _dfa_blocks(nq, k.shape[2])
     hw = (not interpret) and _use_pallas_default()
-    dq, dk, dv = _dropout_flash_bwd(q, k, v, seed, lse, d, g, scale, rate,
-                                    block_q=bq, block_k=bk,
-                                    interpret=interpret, hw_prng=hw)
+    fits = _merged_bwd_fits(nq, k.shape[2], q.shape[3], v.shape[3], bq, bk)
+    bwd = (_dropout_flash_bwd if (_BWD2_ENV or not fits)
+           else _dropout_flash_bwd1)
+    dq, dk, dv = bwd(q, k, v, seed, lse, d, g, scale, rate,
+                     block_q=bq, block_k=bk,
+                     interpret=interpret, hw_prng=hw,
+                     f32_dots=_resolve_f32_dots(f32_dots))
     return dq, dk, dv, jnp.zeros_like(seed)
 
 
