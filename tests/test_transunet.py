@@ -218,3 +218,52 @@ def test_vis_attention_weights_sowed():
     ref_out = base.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
                                atol=1e-4)
+
+
+def test_root_s2d_equivalence():
+    """The ResNetV2 root's space-to-depth rewrite (resnetv2.py::
+    _s2d_conv7x7s2) is the reference 7x7/s2/pad-3 conv re-indexed: same
+    output (up to dot accumulation order) and bit-identical kernel grads,
+    for even and the guard path for odd spatial sizes."""
+    from unet_torch_tpu.models.transunet.resnetv2 import (StdConv,
+                                                          _s2d_conv7x7s2)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3), jnp.float32)
+    k = jnp.asarray(rng.randn(7, 7, 3, 16), jnp.float32)
+    dn = ("NHWC", "HWIO", "NHWC")
+    ref = jax.lax.conv_general_dilated(x, k, (2, 2), [(3, 3), (3, 3)],
+                                       dimension_numbers=dn)
+    got = _s2d_conv7x7s2(x, k, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+    g = jnp.asarray(rng.randn(*ref.shape), jnp.float32)
+
+    def loss_ref(k):
+        y = jax.lax.conv_general_dilated(x, k, (2, 2), [(3, 3), (3, 3)],
+                                         dimension_numbers=dn)
+        return jnp.sum(y * g)
+
+    def loss_s2d(k):
+        return jnp.sum(_s2d_conv7x7s2(x, k, jnp.float32) * g)
+
+    np.testing.assert_array_equal(np.asarray(jax.grad(loss_ref)(k)),
+                                  np.asarray(jax.grad(loss_s2d)(k)))
+
+    # StdConv routes through s2d only when the root signature matches;
+    # an odd spatial size must fall back to the direct conv (same result)
+    conv = StdConv(16, (7, 7), (2, 2), padding=[(3, 3), (3, 3)])
+    xo = jnp.asarray(rng.randn(1, 65, 65, 3), jnp.float32)
+    v = conv.init(jax.random.key(0), xo)
+    assert conv.apply(v, xo).shape == (1, 33, 33, 16)
+    # and the env control forces the direct path on even sizes
+    ve = conv.init(jax.random.key(0), x)
+    y_s2d = conv.apply(ve, x)
+    import os as _os
+    _os.environ["UNET_TPU_NO_ROOT_S2D"] = "1"
+    try:
+        y_direct = conv.apply(ve, x)
+    finally:
+        del _os.environ["UNET_TPU_NO_ROOT_S2D"]
+    np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_direct),
+                               atol=1e-4)

@@ -9,10 +9,38 @@ pre-activation bottlenecks (3,4,9 units; PreActBottleneck :38-74), 7x7/s2 root +
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+def _s2d_conv7x7s2(x, kernel, dtype):
+    """Evaluate a 7x7/stride-2/pad-3 conv as a space-to-depth 4x4/stride-1
+    conv (the classic TPU stem rewrite).
+
+    At C_in=3 the direct conv leaves most of the MXU contraction width idle
+    (r8 profile: root fwd 9.9 GF in 1.38 ms = 7 TF/s, wgrad 12.7 TF/s); the
+    rewrite contracts over 4*4*4C=48 instead of 7*7*C and shrinks the output
+    grid 4x per tap.  It is the SAME multiply-add set, re-indexed: with the
+    kernel zero-padded to 8x8 at the top-left, out[i] = sum_{u'=0..7}
+    x[2i-4+u'] k8[u'], and u'=2a+b splits into a 4-tap conv (pad 2,1) over
+    the 2x2 space-to-depth planes b.  Exact up to dot accumulation order
+    (test_transunet.py::test_root_s2d_equivalence).
+    """
+    b, h, w, c = x.shape
+    f = kernel.shape[-1]
+    k8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    k = (k8.reshape(4, 2, 4, 2, c, f).transpose(0, 2, 1, 3, 4, 5)
+         .reshape(4, 4, 4 * c, f))
+    xs = (x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+          .reshape(b, h // 2, w // 2, 4 * c))
+    return jax.lax.conv_general_dilated(
+        xs.astype(dtype), k.astype(dtype), (1, 1),
+        padding=[(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class StdConv(nn.Module):
@@ -35,13 +63,19 @@ class StdConv(nn.Module):
         mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
         var = jnp.var(kernel, axis=(0, 1, 2), keepdims=True)
         kernel = (kernel - mean) / jnp.sqrt(var + 1e-5)
-        dn = ("NHWC", "HWIO", "NHWC")
-        import jax
-
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=self.strides, padding=self.padding,
-            dimension_numbers=dn)
+        if (self.kernel_size == (7, 7) and self.strides == (2, 2)
+                and self.padding == [(3, 3), (3, 3)]
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+                and in_features <= 8
+                and not os.environ.get("UNET_TPU_NO_ROOT_S2D")):
+            # the low-C_in root: space-to-depth rewrite (same FMAs, 4x
+            # better MXU packing; UNET_TPU_NO_ROOT_S2D=1 is the A/B control)
+            y = _s2d_conv7x7s2(x, kernel, self.dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=self.strides, padding=self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias
