@@ -237,6 +237,65 @@ def baseline_transunet_infer(steps=1, batch=1):
     return steps * batch / dt
 
 
+def baseline_eval_suite(n_images=4):
+    """Reference-semantics whole-eval wall-clock on CPU torch: serial
+    batch-1 softmax->argmax forward (ref test_mc3serousv5.py:859-887) + the
+    same Results2Class accumulator/CSV/plot suite ours runs (CSV-for-CSV
+    pinned against the reference classes — tests/test_reports_vs_reference
+    .py), over synthetic 512² images.  n_images is small because the torch
+    CPU forward alone is ~6 s/img on this host."""
+    import shutil
+    import tempfile
+
+    torch = _torch_setup()
+    import numpy as np
+
+    from Model import UNet as TorchUNet
+
+    from unet_torch_tpu.data.synthetic import write_synthetic_dataset
+    from unet_torch_tpu.eval.reports import (
+        Results2Class,
+        preprocess_eval,
+        zoom_resize,
+    )
+
+    torch.manual_seed(0)
+    model = TorchUNet(CHANNELS, N_CLASSES, 64, usa_cuda=False)
+    model.eval()
+    tmp = tempfile.mkdtemp(prefix="bench_eval_ref_")
+    try:
+        data_dir = os.path.join(tmp, "data")
+        write_synthetic_dataset(data_dir, n_images=n_images, size=SIZE,
+                                n_classes=N_CLASSES, seed=0)
+        images = sorted(
+            os.path.join(data_dir, f) for f in os.listdir(data_dir)
+            if f.endswith(".png") and "_label" not in f
+            and "_gt_dot" not in f)
+        import cv2
+
+        t0 = time.perf_counter()
+        res = Results2Class(os.path.join(tmp, "out"), True)
+        for img_path in images:
+            img_org = cv2.imread(img_path)  # BGR, as _load_eval_image(ch=3)
+            x = preprocess_eval(img_org, (SIZE, SIZE))  # NHWC float32
+            with torch.no_grad():
+                out = model(torch.from_numpy(
+                    np.ascontiguousarray(x.transpose(0, 3, 1, 2))))
+                pred = torch.argmax(torch.softmax(out, dim=1), dim=1)[0]
+            pred = np.uint8(pred.numpy())
+            h, w = img_org.shape[:2]
+            if (h, w) != (SIZE, SIZE):
+                pred = zoom_resize(pred, h, w, order=0)
+            label = cv2.imread(img_path.replace(".png", "_label_mc.png"), 0)
+            gt_dot = cv2.imread(img_path.replace(".png", "_gt_dot.png"), 0)
+            res.imageNames.append(os.path.basename(img_path))
+            res.compare_images(img_org, label, pred, gt_dot)
+        res.save()
+        return n_images / (time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 BASELINES = {
     "unet_ce": baseline_unet_ce,
     "unet_mc": baseline_unet_mc,
@@ -245,6 +304,7 @@ BASELINES = {
     "cltr": baseline_cltr,
     "unet_infer": baseline_unet_infer,
     "transunet_infer": baseline_transunet_infer,
+    "eval_suite": baseline_eval_suite,
 }
 
 
@@ -463,12 +523,30 @@ def tpu_cltr(batch=16, steps=10, precision="bf16"):
     return steps * batch / dt
 
 
-def tpu_unet_infer(batch=16, steps=20):
+def _median_infer_windows(predict, variables, x, batch, steps, repeats=3):
+    """Median of `repeats` independent timed windows (one compile+warm call
+    first).  The forward path is short enough that a single window swings
+    ±5% run-to-run through the axon tunnel (VERDICT r4 weak #5) — the
+    median of 3 longer windows makes a real ~5% regression visible."""
+    import numpy as np
+
+    np.asarray(predict(variables, x))  # compile + warm
+    vals = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            pred = predict(variables, x)
+        np.asarray(pred)
+        vals.append(steps * batch / (time.perf_counter() - t0))
+    return float(np.median(vals))
+
+
+def tpu_unet_infer(batch=16, steps=30, repeats=3):
     """Inference path (the driver target is train+infer, BASELINE.json:2):
     jit'd eval forward (train=False, running BN stats), class-map
     postprocess on device (class_argmax == the reference's softmax->argmax)
     — the same signature eval/reports.py::make_predict_fn batches tiles
-    through — honest sync via device_get."""
+    through — honest sync via device_get; median of 3 windows."""
     import numpy as np
 
     import jax
@@ -490,17 +568,12 @@ def tpu_unet_infer(batch=16, steps=20):
         out = model.apply(variables, x, train=False)
         return class_argmax(out)
 
-    np.asarray(predict(variables, x))  # compile + warm
-    steps = max(steps, 2)  # the timed loop runs steps-1 iterations
-    t0 = time.perf_counter()
-    for _ in range(steps - 1):
-        pred = predict(variables, x)
-    np.asarray(pred)
-    return (steps - 1) * batch / (time.perf_counter() - t0)
+    return _median_infer_windows(predict, variables, x, batch, steps, repeats)
 
 
-def tpu_transunet_infer(batch=16, steps=10):
-    """TransUnet R50-ViT-B/16 512^2 eval forward throughput."""
+def tpu_transunet_infer(batch=16, steps=15, repeats=3):
+    """TransUnet R50-ViT-B/16 512^2 eval forward throughput (median of 3
+    windows — see _median_infer_windows)."""
     import numpy as np
 
     import jax
@@ -521,13 +594,62 @@ def tpu_transunet_infer(batch=16, steps=10):
         out = model.apply(variables, x, train=False)
         return class_argmax(out)
 
-    np.asarray(predict(variables, x))
-    steps = max(steps, 2)  # the timed loop runs steps-1 iterations
-    t0 = time.perf_counter()
-    for _ in range(steps - 1):
-        pred = predict(variables, x)
-    np.asarray(pred)
-    return (steps - 1) * batch / (time.perf_counter() - t0)
+    return _median_infer_windows(predict, variables, x, batch, steps, repeats)
+
+
+def tpu_eval_suite(n_images=64, warm=16):
+    """Whole-eval-suite wall-clock (VERDICT r4 #9): test_single_mc over
+    n_images synthetic 512² images — cv2 decode + zoom/z-norm preprocess +
+    pipelined batched device forward (eval/reports.py::_batched_eval) + host
+    postprocess (contours, σ-grid matching, GAME) + the full CSV/plot
+    artifact suite (ref test_mc3serousv5.py:859-900).  Guards the r6 eval
+    pipelining + params-as-args work, which no bench entry covered.
+
+    A warm pass over `warm` images runs first so the jit compile (cached
+    server-side on axon) and the matplotlib font cache don't pollute the
+    steady-state number."""
+    import shutil
+    import tempfile
+    import types
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from unet_torch_tpu.data.synthetic import write_synthetic_dataset
+    from unet_torch_tpu.eval.reports import test_single_mc
+    from unet_torch_tpu.models.unet import UNet
+    from unet_torch_tpu.train.optim import make_optimizer
+    from unet_torch_tpu.train.state import TrainState
+
+    model = UNet(CHANNELS, N_CLASSES, 64, fold=True, dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, SIZE, SIZE, CHANNELS), jnp.float32), train=False)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}),
+                              make_optimizer("Adam", 1e-3, 0.0))
+    trainer = types.SimpleNamespace(model=model, state=state)
+
+    tmp = tempfile.mkdtemp(prefix="bench_eval_")
+    try:
+        data_dir = os.path.join(tmp, "data")
+        write_synthetic_dataset(data_dir, n_images=n_images, size=SIZE,
+                                n_classes=N_CLASSES, seed=0)
+        images = sorted(
+            os.path.join(data_dir, f) for f in os.listdir(data_dir)
+            if f.endswith(".png") and "_label" not in f
+            and "_gt_dot" not in f)
+        assert len(images) == n_images
+        test_single_mc(trainer, (SIZE, SIZE), 3, N_CLASSES,
+                       images[:warm], os.path.join(tmp, "warm"))
+        t0 = time.perf_counter()
+        test_single_mc(trainer, (SIZE, SIZE), 3, N_CLASSES,
+                       images, os.path.join(tmp, "timed"))
+        return n_images / (time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def tpu_topo(batch=8, steps=10):
@@ -588,6 +710,9 @@ CONFIGS = [
     ("transunet_r50vitb16_512px_bf16_b16_infer", tpu_transunet_infer,
      "transunet_infer"),
     ("unet64_512px_topo_two_phase_b8", tpu_topo, None),
+    # whole-eval-suite wall-clock: decode + pipelined device forward + host
+    # matching/CSV/plots (guards the r6 eval pipelining work)
+    ("eval_suite_mc_64img_512px", tpu_eval_suite, "eval_suite"),
     ("unet64_512px_f32_b8", lambda: tpu_unet(8, "float32", steps=10),
      "unet_ce"),
     ("unet64_512px_bf16_b32_remat",

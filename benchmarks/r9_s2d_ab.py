@@ -29,6 +29,44 @@ def save(key, val):
     print(f"== {key}: {val:.2f} img/s", flush=True)
 
 
+def parity_on_chip():
+    """Forward parity of the s2d vs direct root through the FULL TransUnet
+    on the real TPU (the CPU equivalence test is necessary but not
+    sufficient — Mosaic/XLA lowering can differ per backend).  Same params,
+    both paths, max |Δ| recorded."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from unet_torch_tpu.models.transunet import build_transunet
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 512, 512, 3), jnp.float32)
+
+    outs = {}
+    for arm, env in (("s2d", None), ("direct", "1")):
+        if env is None:
+            os.environ.pop("UNET_TPU_NO_ROOT_S2D", None)
+        else:
+            os.environ["UNET_TPU_NO_ROOT_S2D"] = env
+        model = build_transunet("TransUnet", img_size=512, n_channels=3,
+                                num_classes=3, dtype=jnp.float32)
+        variables = model.init(jax.random.key(0), x[:1], train=False)
+
+        @jax.jit
+        def fwd(v, xx):
+            return model.apply(v, xx, train=False)
+
+        outs[arm] = np.asarray(fwd(variables, x))
+    os.environ.pop("UNET_TPU_NO_ROOT_S2D", None)
+    maxdiff = float(np.abs(outs["s2d"] - outs["direct"]).max())
+    RESULTS["parity_maxdiff_f32_512px"] = maxdiff
+    with open(OUT, "w") as f:
+        json.dump(RESULTS, f, indent=1)
+    print(f"== on-chip f32 parity max|Δ| = {maxdiff:.3e}", flush=True)
+
+
 def main():
     os.environ.pop("UNET_TPU_NO_ROOT_S2D", None)
     save("transunet_b8_s2d", bench.tpu_transunet(batch=8, steps=10))
@@ -37,6 +75,7 @@ def main():
     os.environ.pop("UNET_TPU_NO_ROOT_S2D", None)
     # second s2d arm guards against tunnel drift ordering effects
     save("transunet_b8_s2d_rerun", bench.tpu_transunet(batch=8, steps=10))
+    parity_on_chip()
     print("DONE", flush=True)
 
 

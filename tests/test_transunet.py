@@ -256,14 +256,31 @@ def test_root_s2d_equivalence():
     xo = jnp.asarray(rng.randn(1, 65, 65, 3), jnp.float32)
     v = conv.init(jax.random.key(0), xo)
     assert conv.apply(v, xo).shape == (1, 33, 33, 16)
-    # and the env control forces the direct path on even sizes
+    # and the env control forces the direct path on even sizes.  Routing is
+    # verified by instrumenting the module-level _s2d_conv7x7s2 (ADVICE r4:
+    # an atol compare alone passes even if the guard silently breaks and
+    # both arms run the direct conv).
+    from unet_torch_tpu.models.transunet import resnetv2 as _rmod
+
+    calls = []
+    orig = _rmod._s2d_conv7x7s2
+
+    def _recording(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
     ve = conv.init(jax.random.key(0), x)
-    y_s2d = conv.apply(ve, x)
     import os as _os
-    _os.environ["UNET_TPU_NO_ROOT_S2D"] = "1"
+    _rmod._s2d_conv7x7s2 = _recording
     try:
+        y_s2d = conv.apply(ve, x)
+        assert calls, "even-size root did not route through the s2d rewrite"
+        calls.clear()
+        _os.environ["UNET_TPU_NO_ROOT_S2D"] = "1"
         y_direct = conv.apply(ve, x)
+        assert not calls, "env control failed to force the direct conv"
     finally:
-        del _os.environ["UNET_TPU_NO_ROOT_S2D"]
+        _rmod._s2d_conv7x7s2 = orig
+        _os.environ.pop("UNET_TPU_NO_ROOT_S2D", None)
     np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_direct),
                                atol=1e-4)

@@ -77,6 +77,11 @@ class TrainConfig:
     seeds: Sequence[int] = (0,)
     use_cuda: bool = True  # accepted for compatibility; TPU/CPU chosen by JAX
     precision: str = "f32"
+    # TPU-specific: run the topo-loss PH pairing on a ds×-max-pooled
+    # likelihood map (train/steps.py::make_topo_steps pair_downsample) —
+    # host union-find cost and D2H bytes shrink ~ds²; quality trade
+    # measured in benchmarks/PARITY_SUITE.json (topo_coarse entries).
+    topo_pair_downsample: int = 1
     mesh: dict = dataclasses.field(default_factory=dict)
     # multi-process (multi-host) mode: jax.distributed.initialize() at start;
     # also auto-detected from coordinator env vars (core/dist.py)
@@ -151,6 +156,7 @@ class Config:
             seeds=tuple(int(s) for s in seeds),
             use_cuda=bool(t.get("use_cuda", True)),
             precision=str(t.get("precision", "f32")),
+            topo_pair_downsample=int(t.get("topo_pair_downsample", 1)),
             mesh=dict(t.get("mesh", {})),
             distributed=bool(t.get("distributed", False)),
         )

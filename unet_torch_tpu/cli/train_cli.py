@@ -209,7 +209,8 @@ def run_training(cfg: Config):
             num_classes=cfg.model.num_class,
             lr_scheduler=cfg.train.adaptive_lr,
             start_epoch=cfg.resume.epoch if cfg.resume.flag else 1,
-            seed=seed, fused_head=cfg.model.fused_head)
+            seed=seed, fused_head=cfg.model.fused_head,
+            topo_pair_downsample=cfg.train.topo_pair_downsample)
         if cfg.model.model_type == "CLTR":
             trainer.criterion = getattr(build_datasets_and_model,
                                         "last_cltr_criterion", None)
@@ -288,6 +289,12 @@ def _post_train_test(trainer, cfg: Config, test_image_list, out_dir):
             test_image_list, out_dir)
     tsv_files = get_points_from_tsv(cfg.dataset.dot_annotation_path)
     if mt in ("attention", "single", "TransUnet"):
+        if cfg.model.num_class <= 2:
+            # binary heads (e.g. the topo warm-up workflow) go through the
+            # sigmoid/ResultsCC suite — the reference dispatch sends every
+            # `single` run to test_single_mc, which rejects Num_Class < 3
+            # (latent defect; SURVEY §2.6 tells us to handle the capability)
+            return reports.test_single(*args)
         return reports.test_single_mc(*args)
     if mt in ("multi_task_regTU", "multi_task_reg"):
         # the reference calls test_single_reg with 7 of its 8 args

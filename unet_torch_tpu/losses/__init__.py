@@ -40,7 +40,8 @@ from unet_torch_tpu.losses.functional import (
     softmax_cross_entropy,
     topk_bce_loss,
 )
-from unet_torch_tpu.losses.topo import topo_loss, persistence_diagram
+from unet_torch_tpu.losses.topo import (topo_loss, topocount_loss,
+                                        persistence_diagram)
 
 # reference-compat module global (train.py:163 writes loss.CLASS_NUMBER)
 CLASS_NUMBER: int = 2
@@ -80,7 +81,10 @@ _DISPATCH = {
     "MyTopoLoss2": lambda p, t, w, n: topo_loss(p, t),
     "MyTopoLossGraph": lambda p, t, w, n: topo_loss(p, t),
     "MyTopoLossVR": lambda p, t, w, n: topo_loss(p, t),
-    "TopoCount": lambda p, t, w, n: topo_loss(p, t),
+    # TopoCount is the LOCALIZED flavour (Abousamra-style per-window
+    # constraint; target = the dot-annotation map) — distinct from the
+    # global Hu-style persistence matching above (topo.py docstrings).
+    "TopoCount": lambda p, t, w, n: topocount_loss(p, t),
 }
 
 TOPO_LOSSES = {"TopoLoss", "MyTopoLoss1", "MyTopoLoss2", "MyTopoLossGraph",

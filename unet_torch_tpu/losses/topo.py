@@ -188,6 +188,159 @@ def compute_pairing(likelihood: np.ndarray, target: np.ndarray | None,
                          max_bars, kgt_override)
 
 
+def downsample_max(x, ds: int):
+    """2D max-pool a (B, H, W) map by ``ds`` via reshape-max (H, W divisible
+    by ds).  Works in jnp (differentiable — the gradient flows to the window
+    argmax) and numpy alike.  ds=1 is the identity.
+
+    Used for coarse PH pairing: the superlevel filtration of the max-pooled
+    likelihood preserves every local-max birth (a peak survives pooling) while
+    the host union-find runs on ds² fewer pixels (the ~41 ms/512²-img native
+    pairing cost scales ~linearly in pixels).  sigmoid is monotonic, so
+    pooling logits before sigmoid equals pooling the likelihood."""
+    if ds == 1:
+        return x
+    b, h, w = x.shape
+    return x.reshape(b, h // ds, ds, w // ds, ds).max(axis=(2, 4))
+
+
+# ---------------------------------------------------------------------------
+# Localized per-window PH constraint — the `TopoCount` flavour
+# ---------------------------------------------------------------------------
+
+def _window_pairing_host(likelihood: np.ndarray, dot_counts: np.ndarray,
+                         window: int, bars_per_window: int):
+    """TopoCount-style localized pairing (Abousamra et al., AAAI 2021
+    "Localization in the Crowd with Topological Constraints": a per-window
+    0-dim persistence constraint ties the number of significant peaks in
+    each window to the dot count there, instead of one global count).
+
+    likelihood: (B, H, W) f32; dot_counts: (B, nwin) int — the per-window
+    ground-truth dot counts (window grid in row-major order).  Returns
+    (births, deaths) as GLOBAL flat indices (B, nwin*bars), nbars (B, nwin),
+    kgt (B, nwin) — all int32, padded per window.
+    """
+    try:
+        from unet_torch_tpu.native import ph0 as _native
+    except Exception:  # pragma: no cover - native build unavailable
+        _native = None
+    bsz, h, w = likelihood.shape
+    if h % window or w % window:
+        raise ValueError(f"window {window} must divide ({h}, {w})")
+    gy, gx = h // window, w // window
+    nwin = gy * gx
+    births = np.zeros((bsz, nwin * bars_per_window), np.int32)
+    deaths = np.zeros((bsz, nwin * bars_per_window), np.int32)
+    nbars = np.zeros((bsz, nwin), np.int32)
+    for i in range(bsz):
+        for wy in range(gy):
+            for wx in range(gx):
+                crop = np.ascontiguousarray(
+                    likelihood[i, wy * window:(wy + 1) * window,
+                               wx * window:(wx + 1) * window], np.float32)
+                if _native is not None:
+                    b, d, n = _native.superlevel_ph0(crop, bars_per_window)
+                else:
+                    b, d, n = _superlevel_ph0_np(crop, bars_per_window)
+                # local (window-flat) -> global flat indices
+                ly, lx = np.divmod(b.astype(np.int64), window)
+                gb = (wy * window + ly) * w + wx * window + lx
+                ly, lx = np.divmod(d.astype(np.int64), window)
+                gd = (wy * window + ly) * w + wx * window + lx
+                k = wy * gx + wx
+                s = slice(k * bars_per_window, (k + 1) * bars_per_window)
+                births[i, s] = gb
+                deaths[i, s] = gd
+                nbars[i, k] = n
+    return births, deaths, nbars, np.asarray(dot_counts, np.int32)
+
+
+def topocount_loss_from_pairing(logits, births, deaths, nbars, kgt,
+                                bars_per_window: int):
+    """Differentiable half of the localized TopoCount loss: per-window
+    matched/unmatched bar penalties gathered from the full likelihood map.
+
+    births/deaths: (B, nwin*bars) global flat indices; nbars/kgt: (B, nwin).
+    In each window the kgt most persistent bars match the ideal (1, 0) bar
+    and the rest match the diagonal — the same penalty as the global loss,
+    applied per window so every annotated dot constrains its own
+    neighbourhood."""
+    logits = logits[..., 0] if logits.ndim == 4 else logits
+    lik = jax.nn.sigmoid(logits)
+    bsz = lik.shape[0]
+    nwin = nbars.shape[1]
+    flat = lik.reshape(bsz, -1)
+    bvals = jnp.take_along_axis(flat, births.astype(jnp.int32), axis=1)
+    dvals = jnp.take_along_axis(flat, deaths.astype(jnp.int32), axis=1)
+    bvals = bvals.reshape(bsz, nwin, bars_per_window)
+    dvals = dvals.reshape(bsz, nwin, bars_per_window)
+    idx = jnp.arange(bars_per_window)[None, None, :]
+    valid = idx < nbars[:, :, None]
+    matched = valid & (idx < kgt[:, :, None])
+    unmatched = valid & ~matched
+    loss = jnp.sum(jnp.where(matched, (bvals - 1.0) ** 2 + dvals**2, 0.0)) + \
+        jnp.sum(jnp.where(unmatched, (bvals - dvals) ** 2, 0.0))
+    return loss / bsz
+
+
+def effective_window(h: int, w: int, window: int) -> int:
+    """Largest window ≤ ``window`` that tiles (h, w) exactly — clamps the
+    512²-tuned default (64) to small inputs (a 64² crop gets one window) and
+    walks down to a divisor for odd sizes (terminates at 1)."""
+    eff = max(1, min(window, h, w))
+    while h % eff or w % eff:
+        eff -= 1
+    return eff
+
+
+def window_dot_counts(gt_dot, window: int):
+    """Per-window dot counts (B, nwin) from a (B, H, W) dot map — jnp or
+    numpy (row-major window grid, matching _window_pairing_host)."""
+    b, h, w = gt_dot.shape
+    gy, gx = h // window, w // window
+    return gt_dot.reshape(b, gy, window, gx, window).sum(
+        axis=(2, 4)).reshape(b, gy * gx)
+
+
+def compute_pairing_windows(likelihood: np.ndarray, gt_dot: np.ndarray,
+                            window: int, bars_per_window: int):
+    """Host-side localized pairing on concrete arrays (two-phase TPU path);
+    gt_dot may be either a (B, H, W) dot map or precomputed (B, nwin)
+    counts."""
+    gt_dot = np.asarray(gt_dot)
+    if gt_dot.ndim == 3:
+        counts = np.asarray(window_dot_counts(gt_dot, window))
+    else:
+        counts = gt_dot
+    return _window_pairing_host(np.asarray(likelihood), counts, window,
+                                bars_per_window)
+
+
+def topocount_loss(pred, gt_dot, window: int = 64, bars_per_window: int = 8):
+    """Localized TopoCount loss on (B,H,W,1)/(B,H,W) logits vs a (B,H,W)
+    dot-annotation map (each dot = one object).  Routes the per-window PH
+    pairing through jax.pure_callback — use compute_pairing_windows +
+    topocount_loss_from_pairing on backends without host callbacks (the
+    two-phase pattern in train.steps.make_topo_steps)."""
+    logits = pred[..., 0] if pred.ndim == 4 else pred
+    lik = jax.nn.sigmoid(logits)
+    bsz, h, w = lik.shape
+    window = effective_window(h, w, window)
+    nwin = (h // window) * (w // window)
+    counts = window_dot_counts(gt_dot, window).astype(jnp.int32)
+    births, deaths, nbars, kgt = jax.pure_callback(
+        lambda p, c: _window_pairing_host(np.asarray(p), np.asarray(c),
+                                          window, bars_per_window),
+        (jax.ShapeDtypeStruct((bsz, nwin * bars_per_window), jnp.int32),
+         jax.ShapeDtypeStruct((bsz, nwin * bars_per_window), jnp.int32),
+         jax.ShapeDtypeStruct((bsz, nwin), jnp.int32),
+         jax.ShapeDtypeStruct((bsz, nwin), jnp.int32)),
+        jax.lax.stop_gradient(lik), counts,
+    )
+    return topocount_loss_from_pairing(pred, births, deaths, nbars, kgt,
+                                       bars_per_window)
+
+
 def topo_loss(pred, target, max_bars: int = 64):
     """Topological loss on (B,H,W,1)/(B,H,W) logits vs binary (B,H,W) target.
 

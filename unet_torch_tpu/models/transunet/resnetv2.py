@@ -63,13 +63,27 @@ class StdConv(nn.Module):
         mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
         var = jnp.var(kernel, axis=(0, 1, 2), keepdims=True)
         kernel = (kernel - mean) / jnp.sqrt(var + 1e-5)
-        if (self.kernel_size == (7, 7) and self.strides == (2, 2)
-                and self.padding == [(3, 3), (3, 3)]
+        # flax freezes list attributes to tuples, so compare the NORMALISED
+        # padding — `self.padding == [(3, 3), (3, 3)]` is always False in
+        # here, which silently disabled this path through all of r4
+        # (ADVICE r4; caught by the routing assertion in
+        # tests/test_transunet.py::test_root_s2d_equivalence)
+        pad_norm = (tuple(tuple(p) for p in self.padding)
+                    if not isinstance(self.padding, str) else self.padding)
+        if (tuple(self.kernel_size) == (7, 7)
+                and tuple(self.strides) == (2, 2)
+                and pad_norm == ((3, 3), (3, 3))
                 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
                 and in_features <= 8
                 and not os.environ.get("UNET_TPU_NO_ROOT_S2D")):
             # the low-C_in root: space-to-depth rewrite (same FMAs, 4x
-            # better MXU packing; UNET_TPU_NO_ROOT_S2D=1 is the A/B control)
+            # better MXU packing; UNET_TPU_NO_ROOT_S2D=1 is the A/B control).
+            # NB: the env var is read at FLAX TRACE TIME — a long-lived
+            # jitted step silently keeps whichever branch was traced, so
+            # flipping the env after compilation has no effect.  A/B
+            # harnesses must build a fresh jitted step per arm (as
+            # benchmarks/r9_s2d_ab.py does via fresh bench.tpu_transunet
+            # calls).
             y = _s2d_conv7x7s2(x, kernel, self.dtype)
         else:
             y = jax.lax.conv_general_dilated(

@@ -253,7 +253,8 @@ def make_multitask_steps(model, tx, loss_type: str, num_classes: int,
 
 def make_topo_steps(model, tx, loss_type: str, num_classes: int,
                     relu_output: bool = False, max_bars: int = 64,
-                    fused_head: bool = False):
+                    fused_head: bool = False, pair_downsample: int = 1,
+                    window: int = 64, bars_per_window: int = 8):
     """Steps for `singe_train_wup` (Trainer.py:291-479): epochs <=5 train with
     dice_bce, afterwards with the topological loss against [labels, gt_dot]
     (the dot-map sum supplies the true component count k_gt).
@@ -263,6 +264,18 @@ def make_topo_steps(model, tx, loss_type: str, num_classes: int,
     has no host callbacks, so the boundary is explicit — same pattern as the
     CLTR Hungarian matcher.
 
+    ``loss_type="TopoCount"`` selects the LOCALIZED per-window constraint
+    (losses/topo.py::topocount_loss_from_pairing — Abousamra-style: each
+    ``window``² region's bars match its own dot count) instead of the global
+    Hu-style persistence matching; all other topo names use the global loss.
+
+    ``pair_downsample=ds`` runs the PH pairing on a ds×-max-pooled likelihood
+    (losses/topo.py::downsample_max): the host union-find cost and the D2H
+    likelihood transfer both shrink ~ds², while the differentiated loss
+    gathers from the identically-pooled on-device map, so gradients flow
+    through the window-max pixels.  For the localized loss the window is
+    measured in POOLED pixels (full-res span = window*ds).
+
     ``fused_head=True`` applies the folded-planes dice_bce to the warm-up
     step (C=1 binary head; see make_single_steps); the topo phase needs the
     unfolded likelihood map on the host for pairing, so it is unaffected.
@@ -271,8 +284,15 @@ def make_topo_steps(model, tx, loss_type: str, num_classes: int,
 
     from unet_torch_tpu.losses.topo import (
         compute_pairing,
+        compute_pairing_windows,
+        downsample_max,
         topo_loss_from_pairing,
+        topocount_loss_from_pairing,
+        window_dot_counts,
     )
+
+    ds = int(pair_downsample)
+    localized = loss_type == "TopoCount"
 
     def forward(params, batch_stats, x, train, rng=None):
         out, bs = _apply(model, params, batch_stats, x, train=train, rng=rng)
@@ -330,31 +350,63 @@ def make_topo_steps(model, tx, loss_type: str, num_classes: int,
         out, _ = forward(state.params, state.batch_stats, x, True, rng)
         return out
 
+    def _pooled_logits(out):
+        logits = out[..., 0] if out.ndim == 4 else out
+        return downsample_max(logits.astype(jnp.float32), ds)
+
+    def _eff_window(h_pooled, w_pooled):
+        # clamp the 512²-tuned default window to the (pooled) input size
+        from unet_torch_tpu.losses.topo import effective_window
+
+        return effective_window(h_pooled, w_pooled, window)
+
+    def _kgt_of(gt_dot):
+        if localized:
+            eff = _eff_window(gt_dot.shape[1] // ds, gt_dot.shape[2] // ds)
+            return window_dot_counts(gt_dot, eff * ds).astype(jnp.int32)
+        return jnp.sum(gt_dot, axis=(1, 2)).astype(jnp.int32)
+
     @jax.jit
     def _lik_kgt(state, x, gt_dot, rng):
         # pipelined path: sigmoid computed on-device (a host exp over the
         # (B,512,512) map costs ~50 ms on this 1-vCPU host), f32 for pairing;
         # the gt-dot count rides the same dispatch (each eager op through the
-        # tunneled axon link is a ~20 ms round trip)
+        # tunneled axon link is a ~20 ms round trip).  With pair_downsample
+        # the pooled map also shrinks the D2H transfer ds²×.
         out, _ = forward(state.params, state.batch_stats, x, True, rng)
-        out = out[..., 0] if out.ndim == 4 else out
-        lik = jax.nn.sigmoid(out.astype(jnp.float32))
-        return lik, jnp.sum(gt_dot, axis=(1, 2)).astype(jnp.int32)
+        lik = jax.nn.sigmoid(_pooled_logits(out))
+        return lik, _kgt_of(gt_dot)
+
+    def _loss_from_pairing(out, births, deaths, nbars, kgt):
+        plog = _pooled_logits(out)
+        if localized:
+            return topocount_loss_from_pairing(plog, births, deaths, nbars,
+                                               kgt, bars_per_window)
+        return topo_loss_from_pairing(plog, births, deaths, nbars, kgt,
+                                      max_bars)
+
+    def _unpack(packed, x):
+        # packed int32 = [births | deaths | nbars | kgt] in ONE H2D transfer
+        # instead of four (each is a ~20 ms round trip through the tunneled
+        # axon link).  Global: widths (max_bars, max_bars, 1, 1) with scalar
+        # rows squeezed; localized: (nwin*bpw, nwin*bpw, nwin, nwin).
+        if localized:
+            eff = _eff_window(x.shape[1] // ds, x.shape[2] // ds)
+            nwin = (x.shape[1] // ds // eff) * (x.shape[2] // ds // eff)
+            nwb = nwin * bars_per_window
+            return (packed[:, :nwb], packed[:, nwb:2 * nwb],
+                    packed[:, 2 * nwb:2 * nwb + nwin],
+                    packed[:, 2 * nwb + nwin:])
+        return (packed[:, :max_bars], packed[:, max_bars:2 * max_bars],
+                packed[:, 2 * max_bars], packed[:, 2 * max_bars + 1])
 
     @functools.partial(jax.jit, donate_argnums=0)
     def _topo_update(state, x, packed, lr, rng):
-        # packed (B, 2*max_bars+2) int32 = [births | deaths | nbars | kgt]:
-        # one H2D transfer instead of four (each is a ~20 ms round trip
-        # through the tunneled axon link)
-        births = packed[:, :max_bars]
-        deaths = packed[:, max_bars:2 * max_bars]
-        nbars = packed[:, 2 * max_bars]
-        kgt = packed[:, 2 * max_bars + 1]
+        births, deaths, nbars, kgt = _unpack(packed, x)
 
         def objective(params):
             out, bs = forward(params, state.batch_stats, x, True, rng)
-            return topo_loss_from_pairing(out, births, deaths, nbars, kgt,
-                                          max_bars), bs
+            return _loss_from_pairing(out, births, deaths, nbars, kgt), bs
 
         (loss, bs), grads = jax.value_and_grad(objective, has_aux=True)(
             state.params)
@@ -364,19 +416,27 @@ def make_topo_steps(model, tx, loss_type: str, num_classes: int,
         return state.replace(params=params, batch_stats=bs,
                              opt_state=opt_state, step=state.step + 1), loss
 
+    def _pair_np(lik, kgt):
+        """Host pairing on a concrete (already pooled) likelihood + counts."""
+        if localized:
+            eff = _eff_window(lik.shape[1], lik.shape[2])
+            return compute_pairing_windows(lik, kgt, eff, bars_per_window)
+        return compute_pairing(lik, None, max_bars, kgt_override=kgt)
+
     def _pairing(out, y, gt_dot):
         logits = np.asarray(out)
         logits = logits[..., 0] if logits.ndim == 4 else logits
-        lik = 1.0 / (1.0 + np.exp(-logits))
-        kgt = np.asarray(jnp.sum(gt_dot, axis=(1, 2))).astype(np.int64)
-        return compute_pairing(lik, np.asarray(y), max_bars,
-                               kgt_override=kgt)
+        plog = downsample_max(logits, ds)
+        lik = 1.0 / (1.0 + np.exp(-plog))
+        return _pair_np(lik, np.asarray(_kgt_of(jnp.asarray(gt_dot))))
 
     def _pack(births, deaths, nbars, kgt):
+        def _2d(a):
+            a = np.asarray(a, np.int32)
+            return a[:, None] if a.ndim == 1 else a
+
         return np.concatenate(
-            [births.astype(np.int32), deaths.astype(np.int32),
-             nbars.astype(np.int32)[:, None], kgt.astype(np.int32)[:, None]],
-            axis=1)
+            [_2d(births), _2d(deaths), _2d(nbars), _2d(kgt)], axis=1)
 
     def topo_step(state, x, y, gt_dot, lr, rng):
         out = _fwd_only(state, x, rng)
@@ -385,12 +445,10 @@ def make_topo_steps(model, tx, loss_type: str, num_classes: int,
                                                         nbars, kgt)), lr, rng)
 
     def _pair_host(lik, kgt_dev):
-        kgt = np.asarray(kgt_dev).astype(np.int64)
-        # target=None: kgt_override makes the mask unused, so don't pull
-        # the 8MB target tensor across the link every step
-        births, deaths, nbars, kgt = compute_pairing(
-            np.asarray(lik), None, max_bars, kgt_override=kgt)
-        return _pack(births, deaths, nbars, kgt)
+        # target=None in the global path: kgt_override makes the mask unused,
+        # so don't pull the 8MB target tensor across the link every step
+        return _pack(*_pair_np(np.asarray(lik),
+                               np.asarray(kgt_dev).astype(np.int64)))
 
     class TopoPipeline:
         """Software pipeline over the two-phase topo step: the host
@@ -469,9 +527,9 @@ def make_topo_steps(model, tx, loss_type: str, num_classes: int,
     def topo_eval(state, x, y, gt_dot):
         out = _fwd_only(state, x, jax.random.key(0))
         births, deaths, nbars, kgt = _pairing(out, y, gt_dot)
-        loss = topo_loss_from_pairing(jnp.asarray(out), jnp.asarray(births),
-                                      jnp.asarray(deaths), jnp.asarray(nbars),
-                                      jnp.asarray(kgt), max_bars)
+        loss = _loss_from_pairing(jnp.asarray(out), jnp.asarray(births),
+                                  jnp.asarray(deaths), jnp.asarray(nbars),
+                                  jnp.asarray(kgt))
         return loss, out
 
     return (warm_step, warm_eval), (topo_step, topo_eval), TopoPipeline

@@ -70,7 +70,7 @@ class Trainer:
                  batch_size, optimizer_name, lr_rate, weight_decay, patience,
                  num_epochs, loss_function, accuracy_metric, num_classes,
                  lr_scheduler=None, start_epoch=1, seed=0, relu_output=None,
-                 fused_head=False):
+                 fused_head=False, topo_pair_downsample=1):
         self.model = model
         self.model_type = model_type
         self.mesh = mesh
@@ -92,6 +92,7 @@ class Trainer:
             relu_output = model_type in ("regression", "regression_t")
         self.relu_output = relu_output
         self.fused_head = fused_head
+        self.topo_pair_downsample = topo_pair_downsample
 
         self.iter_num = 0
         self.max_iterations = num_epochs * max(1, len(dataloaders["train"]))
@@ -373,7 +374,8 @@ class Trainer:
         (warm_step, warm_eval), (topo_step, topo_eval), TopoPipeline = \
             make_topo_steps(self.model, tx, self.loss_function,
                             self.num_classes, relu_output=self.relu_output,
-                            fused_head=self.fused_head)
+                            fused_head=self.fused_head,
+                            pair_downsample=self.topo_pair_downsample)
 
         totaltime = 0.0
         for epoch in range(self.start_epoch, self.num_epochs + 1):
