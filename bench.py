@@ -652,9 +652,13 @@ def tpu_eval_suite(n_images=64, warm=16):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def tpu_topo(batch=8, steps=10):
+def tpu_topo(batch=8, steps=10, pair_downsample=1, loss_type="TopoLoss"):
     """Two-phase topo step (jit forward -> host PH pairing -> jit update) —
-    the honest number includes the host pairing cost."""
+    the honest number includes the host pairing cost.
+
+    pair_downsample=ds pools the likelihood ds x before the host pairing
+    (host union-find cost and the ~8MB D2H likelihood both shrink ~ds^2 —
+    the r4 topo floor was the 1-vCPU host pairing at ~360 ms/batch)."""
     import numpy as np
 
     import jax
@@ -675,7 +679,7 @@ def tpu_topo(batch=8, steps=10):
     state = TrainState.create(variables["params"],
                               variables.get("batch_stats", {}), tx)
     (_w, _we), (topo_step, _te), TopoPipeline = make_topo_steps(
-        model, tx, "TopoLoss", 1)
+        model, tx, loss_type, 1, pair_downsample=pair_downsample)
     key = jax.random.key(1)
     # pipelined path (trainer default): host pairing of batch k overlaps the
     # device update of batch k-1

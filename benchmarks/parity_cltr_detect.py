@@ -246,6 +246,32 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     checkpoints = [int(v) for v in args.checkpoints.split(",")]
 
+    last = str(checkpoints[-1])
+
+    def _final(arm, runs):
+        vals = [r[arm][int(last) if int(last) in r[arm] else last]
+                ["count_mae"] for r in runs if arm in r]
+        return round(float(np.mean(vals)), 4) if vals else None
+
+    def _dump(runs, seeds_done):
+        # incremental write per seed — a multi-hour 6-seed campaign must
+        # survive being killed at round end with partial evidence intact
+        summary = {
+            "config": {**{k: v for k, v in SMALL.items()},
+                       "lr": args.lr, "clip": CLIP, "size": SIZE,
+                       "n_train": N_TRAIN, "n_val": N_VAL, "batch": BATCH,
+                       "checkpoints": checkpoints, "seeds": seeds_done},
+            "runs": runs,
+            "torch_final_mae": _final("torch", runs),
+            "ours_final_mae": _final("ours", runs),
+            "ours_bf16_final_mae": _final("ours_bf16", runs),
+            "baseline_mae": round(float(np.mean(
+                [r["baseline_mae"] for r in runs])), 4),
+        }
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=2)
+        return summary
+
     runs = []
     for s in range(args.seeds):
         tr, va = make_easy_point_data(s)
@@ -260,28 +286,8 @@ def main():
             row["ours_bf16"] = run_ours(tr, va, checkpoints, args.lr, s,
                                         precision="bf16")
         runs.append(row)
+        summary = _dump(runs, s + 1)
 
-    last = str(checkpoints[-1])
-
-    def _final(arm):
-        vals = [r[arm][int(last) if int(last) in r[arm] else last]
-                ["count_mae"] for r in runs if arm in r]
-        return round(float(np.mean(vals)), 4) if vals else None
-
-    summary = {
-        "config": {**{k: v for k, v in SMALL.items()},
-                   "lr": args.lr, "clip": CLIP, "size": SIZE,
-                   "n_train": N_TRAIN, "n_val": N_VAL, "batch": BATCH,
-                   "checkpoints": checkpoints, "seeds": args.seeds},
-        "runs": runs,
-        "torch_final_mae": _final("torch"),
-        "ours_final_mae": _final("ours"),
-        "ours_bf16_final_mae": _final("ours_bf16"),
-        "baseline_mae": round(float(np.mean(
-            [r["baseline_mae"] for r in runs])), 4),
-    }
-    with open(args.out, "w") as f:
-        json.dump(summary, f, indent=2)
     print(json.dumps(summary))
 
 

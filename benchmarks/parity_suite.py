@@ -371,9 +371,19 @@ def tu_ours(train, val, epochs, lr, batch, seed, fused_head=False):
 
 # ---------------------------------------------------------------- topo (ours)
 
-def topo_ours(train, val, epochs, base, lr, batch, seed, use_topo):
+def topo_ours(train, val, epochs, base, lr, batch, seed, use_topo,
+              loss_type="TopoLoss", pair_downsample=1, pipeline_depth=0,
+              window=64):
     """Warm-up dice_bce then topo loss (singe_train_wup semantics,
-    Trainer.py:291-479); returns component-count MRE on val."""
+    Trainer.py:291-479); returns component-count MRE on val.
+
+    Arms beyond the default serial/global loss:
+      pipeline_depth=d  run the topo phase through TopoPipeline(depth=d)
+                        (the production trainer path, train/trainer.py:383) —
+                        pairing indices are d updates stale
+      pair_downsample   PH pairing on a ds x-max-pooled likelihood
+      loss_type         "TopoCount" = localized per-window constraint
+    """
     import cv2
 
     import jax
@@ -391,12 +401,16 @@ def topo_ours(train, val, epochs, base, lr, batch, seed, use_topo):
                            train=False)
     state = TrainState.create(variables["params"],
                               variables.get("batch_stats", {}), tx)
-    (warm_step, _), (topo_step, _), _pipe = make_topo_steps(model, tx, "TopoLoss", 1)
+    (warm_step, _), (topo_step, _), TopoPipeline = make_topo_steps(
+        model, tx, loss_type, 1, pair_downsample=pair_downsample,
+        window=window)
     rng = np.random.RandomState(seed)
     key = jax.random.key(seed + 1)
     warm_epochs = 5 if use_topo else epochs
     for ep in range(1, epochs + 1):
         perm = rng.permutation(len(xs))
+        pipe = (TopoPipeline(depth=pipeline_depth)
+                if pipeline_depth and ep > warm_epochs else None)
         for i in range(0, len(xs), batch):
             idx = perm[i:i + batch]
             bx = jnp.asarray(xs[idx])
@@ -405,8 +419,12 @@ def topo_ours(train, val, epochs, base, lr, batch, seed, use_topo):
             key, sub = jax.random.split(key)
             if ep <= warm_epochs:
                 state, _ = warm_step(state, bx, by, bd, lr, sub)
+            elif pipe is not None:
+                state, _ = pipe.step(state, bx, by, bd, lr, sub)
             else:
                 state, _ = topo_step(state, bx, by, bd, lr, sub)
+        if pipe is not None:
+            state, _ = pipe.flush(state)
     out = model.apply({"params": state.params,
                        "batch_stats": state.batch_stats},
                       jnp.asarray(vx), train=False)
@@ -565,12 +583,23 @@ def main():
         print("fusedhead:", json.dumps(results["fusedhead_vs_cminor"]),
               flush=True)
 
+    # the serial/global topo arm is the shared control of four experiments —
+    # run it once per invocation
+    _topo_serial_cache = {}
+
+    def topo_serial_arm():
+        if "arm" not in _topo_serial_cache:
+            train, val = make_binary_data()
+            _topo_serial_cache["data"] = (train, val)
+            _topo_serial_cache["arm"] = [
+                topo_ours(train, val, args.epochs, args.base, args.lr,
+                          args.batch, s, use_topo=True) for s in seeds]
+        return _topo_serial_cache["data"], _topo_serial_cache["arm"]
+
     if "topo" in wanted:
-        train, val = make_binary_data()
+        (train, val), topo = topo_serial_arm()
         plain = [topo_ours(train, val, args.epochs, args.base, args.lr,
                            args.batch, s, use_topo=False) for s in seeds]
-        topo = [topo_ours(train, val, args.epochs, args.base, args.lr,
-                          args.batch, s, use_topo=True) for s in seeds]
         results["topo_count_mre"] = {
             "note": "reference topo implementations are deleted from the "
                     "snapshot (SURVEY.md §0) — no torch side exists; this "
@@ -580,6 +609,72 @@ def main():
             "per_seed_plain": [round(v, 4) for v in plain],
             "per_seed_topo": [round(v, 4) for v in topo]}
         print("topo:", json.dumps(results["topo_count_mre"]), flush=True)
+
+    if "topo_pipelined" in wanted:
+        # VERDICT r4 item 3: the production trainer runs the topo phase
+        # through TopoPipeline (depth-2 stale pairing indices,
+        # train/trainer.py:383-384) while the quality evidence ran the
+        # serial exact step — measure the staleness cost at convergence.
+        (train, val), serial = topo_serial_arm()
+        piped = [topo_ours(train, val, args.epochs, args.base, args.lr,
+                           args.batch, s, use_topo=True, pipeline_depth=2)
+                 for s in seeds]
+        results["topo_pipelined_vs_serial"] = {
+            "note": "serial exact two-phase step vs TopoPipeline(depth=2) "
+                    "— the production trainer/bench path; pairing indices "
+                    "are <=2 updates stale (train/steps.py::TopoPipeline)",
+            "serial_mre": round(float(np.mean(serial)), 4),
+            "pipelined_mre": round(float(np.mean(piped)), 4),
+            "per_seed_serial": [round(v, 4) for v in serial],
+            "per_seed_pipelined": [round(v, 4) for v in piped]}
+        print("topo_pipelined:",
+              json.dumps(results["topo_pipelined_vs_serial"]), flush=True)
+
+    if "topo_coarse" in wanted:
+        # VERDICT r4 item 4 (quality side): PH pairing on a 2x/4x
+        # max-pooled likelihood — host union-find cost shrinks ~ds^2;
+        # does counting quality hold?
+        (train, val), ds1 = topo_serial_arm()
+        arms = {"ds1": ds1}
+        for ds in (2, 4):
+            vals = [topo_ours(train, val, args.epochs, args.base, args.lr,
+                              args.batch, s, use_topo=True,
+                              pair_downsample=ds) for s in seeds]
+            arms[f"ds{ds}"] = vals
+            print(f"  topo ds{ds}: {float(np.mean(vals)):.4f}", flush=True)
+        results["topo_coarse_pairing"] = {
+            "note": "PH0 pairing on a ds x-max-pooled likelihood "
+                    "(losses/topo.py::downsample_max), gradients through "
+                    "the window-max pixels; ds=1 is the exact default",
+            **{f"{k}_mre": round(float(np.mean(v)), 4)
+               for k, v in arms.items()},
+            **{f"per_seed_{k}": [round(x, 4) for x in v]
+               for k, v in arms.items()}}
+        print("topo_coarse:", json.dumps(results["topo_coarse_pairing"]),
+              flush=True)
+
+    if "topocount" in wanted:
+        # VERDICT r4 item 7: the localized per-window TopoCount flavor
+        # (losses/topo.py::topocount_loss_from_pairing, Abousamra-style)
+        # vs the global Hu-style persistence loss, same seeds/data.
+        # window=32 => 4 windows on the 64^2 fixture (the 512^2-default
+        # window of 64 would degenerate to one global window here).
+        (train, val), global_arm = topo_serial_arm()
+        local_arm = [topo_ours(train, val, args.epochs, args.base,
+                               args.lr, args.batch, s, use_topo=True,
+                               loss_type="TopoCount", window=32)
+                     for s in seeds]
+        results["topocount_localized"] = {
+            "note": "TopoCount = localized per-window PH0 constraint "
+                    "(window=32 => 2x2 windows at 64^2), vs the global "
+                    "persistence-matching TopoLoss; both after dice_bce "
+                    "warm-up, metric = component-count MRE",
+            "global_mre": round(float(np.mean(global_arm)), 4),
+            "topocount_mre": round(float(np.mean(local_arm)), 4),
+            "per_seed_global": [round(v, 4) for v in global_arm],
+            "per_seed_topocount": [round(v, 4) for v in local_arm]}
+        print("topocount:", json.dumps(results["topocount_localized"]),
+              flush=True)
 
     # protocol is recorded PER EXPERIMENT: entries in the merged JSON may
     # come from runs with different seed/epoch settings, so a single shared
