@@ -273,6 +273,7 @@ def baseline_eval_suite(n_images=4):
             and "_gt_dot" not in f)
         import cv2
 
+        os.makedirs(os.path.join(tmp, "out"), exist_ok=True)
         t0 = time.perf_counter()
         res = Results2Class(os.path.join(tmp, "out"), True)
         for img_path in images:
@@ -541,7 +542,7 @@ def _median_infer_windows(predict, variables, x, batch, steps, repeats=3):
     return float(np.median(vals))
 
 
-def tpu_unet_infer(batch=16, steps=30, repeats=3):
+def tpu_unet_infer(batch=16, steps=60, repeats=5):
     """Inference path (the driver target is train+infer, BASELINE.json:2):
     jit'd eval forward (train=False, running BN stats), class-map
     postprocess on device (class_argmax == the reference's softmax->argmax)

@@ -19,6 +19,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite's wall-clock on this 1-vCPU
+# host is dominated by CPU XLA compiles (cold 29 min vs ~12-min target,
+# VERDICT r4 item 5).  The cache survives across processes/sessions, so
+# every run after the first skips recompiling unchanged jit signatures.
+# Trace/lowering still runs (not cacheable); compile is the big half.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/unet_torch_tpu_test_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 

@@ -67,3 +67,19 @@ def test_batchnorm_updates_stats():
     before = variables["batch_stats"]["encoder"]["inc"]["BatchNorm_0"]["mean"]
     after = mut["batch_stats"]["encoder"]["inc"]["BatchNorm_0"]["mean"]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_unet_head_dtype_f32_logits_same_tree():
+    """head_dtype=f32 on a bf16 model: f32 logits, identical param tree
+    (checkpoint-compatible), output close to the all-bf16 model."""
+    x = jnp.zeros((1, 32, 32, 3))
+    m_mixed = UNet(3, 3, 8, dtype=jnp.bfloat16, head_dtype=jnp.float32)
+    m_bf16 = UNet(3, 3, 8, dtype=jnp.bfloat16)
+    v1, out1 = _init_and_run(m_mixed, x)
+    v2, out2 = _init_and_run(m_bf16, x)
+    assert out1.dtype == jnp.float32
+    assert out2.dtype == jnp.bfloat16
+    assert (jax.tree_util.tree_structure(v1)
+            == jax.tree_util.tree_structure(v2))
+    np.testing.assert_allclose(np.asarray(out1, np.float32),
+                               np.asarray(out2, np.float32), atol=3e-2)

@@ -84,10 +84,16 @@ class UNetDecoder(nn.Module):
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
     fold: bool = False
+    # selective-precision rung: compute dtype of the final 1x1 head (outc)
+    # only — lets a bf16 model emit f32 logits (flax promotes the conv's
+    # input to head_dtype) without paying f32 through the decoder.  None =
+    # follow `dtype`.
+    head_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, feats, *, train: bool, planes: bool = False):
         up_cls = nn.remat(Up, static_argnums=(3,)) if self.remat else Up
+        head_dtype = self.head_dtype or self.dtype
         x1, x2, x3, x4, x5 = feats
         x = up_cls(self.base * 8, self.dropout, self.dropout_p,
                    dtype=self.dtype, name="up1")(x5, x4, train)
@@ -101,10 +107,10 @@ class UNetDecoder(nn.Module):
             x = FoldedUp(self.base, self.dropout, self.dropout_p,
                          dtype=self.dtype, name="up4")(x, x1, train)
             return _FoldedOutConvWrap(self.n_classes, self.base,
-                                      dtype=self.dtype, name="outc")(x, planes)
+                                      dtype=head_dtype, name="outc")(x, planes)
         x = up_cls(self.base, self.dropout, self.dropout_p,
                    dtype=self.dtype, name="up4")(x, x1, train)
-        return OutConv(self.n_classes, dtype=self.dtype, name="outc")(x)
+        return OutConv(self.n_classes, dtype=head_dtype, name="outc")(x)
 
 
 class UNet(nn.Module):
@@ -118,6 +124,7 @@ class UNet(nn.Module):
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
     fold: bool = False
+    head_dtype: jnp.dtype | None = None  # see UNetDecoder.head_dtype
 
     def supports_planes(self, x_shape) -> bool:
         """True when __call__(planes=True) would emit folded class planes
@@ -141,6 +148,7 @@ class UNet(nn.Module):
         return UNetDecoder(self.base, self.n_classes, self.dropout,
                            self.dropout_p, remat=self.remat,
                            dtype=self.dtype, fold=fold,
+                           head_dtype=self.head_dtype,
                            name="decoder")(feats, train=train,
                                            planes=fold and planes)
 
