@@ -653,7 +653,8 @@ def tpu_eval_suite(n_images=64, warm=16):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def tpu_topo(batch=8, steps=10, pair_downsample=1, loss_type="TopoLoss"):
+def tpu_topo(batch=8, steps=10, pair_downsample=1, loss_type="TopoLoss",
+             depth=2):
     """Two-phase topo step (jit forward -> host PH pairing -> jit update) —
     the honest number includes the host pairing cost.
 
@@ -684,7 +685,7 @@ def tpu_topo(batch=8, steps=10, pair_downsample=1, loss_type="TopoLoss"):
     key = jax.random.key(1)
     # pipelined path (trainer default): host pairing of batch k overlaps the
     # device update of batch k-1
-    pipe = TopoPipeline()
+    pipe = TopoPipeline(depth=depth)
     for _ in range(3):  # primes the pipeline + compiles both jit signatures
         state, loss = pipe.step(state, x, y, dots, 1e-3, key)
         if loss is not None:
