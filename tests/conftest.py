@@ -26,7 +26,7 @@ jax.config.update("jax_platforms", "cpu")
 # Trace/lowering still runs (not cacheable); compile is the big half.
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/unet_torch_tpu_test_xla"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
 
 import numpy as np
 import pytest

@@ -158,8 +158,8 @@ def test_unet_fold_grad_equivalence(rng):
                          x, train=True, mutable=["batch_stats"])
         return jnp.sum(jnp.sin(out))
 
-    g0 = jax.grad(lambda p: loss(m0, p))(v["params"])
-    g1 = jax.grad(lambda p: loss(m1, p))(v["params"])
+    g0 = jax.jit(jax.grad(lambda p: loss(m0, p)))(v["params"])
+    g1 = jax.jit(jax.grad(lambda p: loss(m1, p)))(v["params"])
     for (_, a), (_, b) in zip(jtu.tree_leaves_with_path(g0),
                               jtu.tree_leaves_with_path(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -252,10 +252,12 @@ def test_transunet_folded_tail_equivalence():
                 rngs={"dropout": jax.random.key(1)})
             return (out.astype(jnp.float32) ** 2).mean(), mut["batch_stats"]
 
-        (l1, bs1), g1 = jax.value_and_grad(loss, has_aux=True)(
-            variables["params"], True)
-        (l0, bs0), g0 = jax.value_and_grad(loss, has_aux=True)(
-            variables["params"], False)
+        # static fold_on + jit: the global patch executes at trace time and
+        # the persistent compilation cache absorbs the (slow) CPU compile
+        grad_fn = jax.jit(jax.value_and_grad(loss, has_aux=True),
+                          static_argnums=1)
+        (l1, bs1), g1 = grad_fn(variables["params"], True)
+        (l0, bs0), g0 = grad_fn(variables["params"], False)
     finally:
         V._tail_fold_factor = orig
 
@@ -297,8 +299,8 @@ def test_planes_head_loss_equivalence(rng):
         assert planes.shape == (6, 2, 32, 16)
         return dice_bce_mc_planes_folded(planes, y, 3)
 
-    l0, g0 = jax.value_and_grad(loss_std)(v["params"])
-    l1, g1 = jax.value_and_grad(loss_planes)(v["params"])
+    l0, g0 = jax.jit(jax.value_and_grad(loss_std))(v["params"])
+    l1, g1 = jax.jit(jax.value_and_grad(loss_planes))(v["params"])
     # equal up to f32 summation order (pixels regrouped by W-parity)
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
     for (_, a), (_, b) in zip(jtu.tree_leaves_with_path(g0),

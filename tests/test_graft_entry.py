@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow  # duplicates the driver's own per-round entry() compile-check
 def test_entry_compiles():
     import __graft_entry__ as ge
 

@@ -104,8 +104,10 @@ def test_pipeline_grads_match_sequential():
         out = _blocks_only(cfg, p, x)
         return jnp.sum(out * out)
 
-    g_pipe = jax.grad(loss_pipe)(stacked)
-    g_seq = jax.grad(loss_seq)(stacked)
+    # jit the grads: the persistent compilation cache (conftest) then makes
+    # repeat runs execution-only (this test was the suite's slowest warm)
+    g_pipe = jax.jit(jax.grad(loss_pipe))(stacked)
+    g_seq = jax.jit(jax.grad(loss_seq))(stacked)
     for a, b in zip(jax.tree_util.tree_leaves(g_pipe),
                     jax.tree_util.tree_leaves(g_seq)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
