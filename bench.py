@@ -526,9 +526,10 @@ def tpu_cltr(batch=16, steps=10, precision="bf16"):
 
 def _median_infer_windows(predict, variables, x, batch, steps, repeats=3):
     """Median of `repeats` independent timed windows (one compile+warm call
-    first).  The forward path is short enough that a single window swings
-    ±5% run-to-run through the axon tunnel (VERDICT r4 weak #5) — the
-    median of 3 longer windows makes a real ~5% regression visible."""
+    first).  The forward path is short enough that a single short window is
+    both noisy AND dispatch-diluted through the axon tunnel (r4 read
+    192-224 for UNet; honest 60-step windows read ~270) — the median of
+    several longer windows makes a real ~5% regression visible."""
     import numpy as np
 
     np.asarray(predict(variables, x))  # compile + warm
@@ -547,7 +548,7 @@ def tpu_unet_infer(batch=16, steps=60, repeats=5):
     jit'd eval forward (train=False, running BN stats), class-map
     postprocess on device (class_argmax == the reference's softmax->argmax)
     — the same signature eval/reports.py::make_predict_fn batches tiles
-    through — honest sync via device_get; median of 3 windows."""
+    through — honest sync via device_get; median of `repeats` windows."""
     import numpy as np
 
     import jax
@@ -573,8 +574,8 @@ def tpu_unet_infer(batch=16, steps=60, repeats=5):
 
 
 def tpu_transunet_infer(batch=16, steps=15, repeats=3):
-    """TransUnet R50-ViT-B/16 512^2 eval forward throughput (median of 3
-    windows — see _median_infer_windows)."""
+    """TransUnet R50-ViT-B/16 512^2 eval forward throughput (median of
+    `repeats` windows — see _median_infer_windows)."""
     import numpy as np
 
     import jax

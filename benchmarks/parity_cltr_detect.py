@@ -288,7 +288,8 @@ def main():
         runs.append(row)
         summary = _dump(runs, s + 1)
 
-    print(json.dumps(summary))
+    if runs:
+        print(json.dumps(summary))
 
 
 if __name__ == "__main__":

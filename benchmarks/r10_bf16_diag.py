@@ -11,14 +11,14 @@ Protocol is IDENTICAL to parity_suite.mc_ours (base 8, 64^2, 32 train /
 stream (mid-training eval uses train=False apply which consumes no rng and
 mutates no state), so the final dice matches what mc_ours would return.
 
-Optional --ladder arms (only meaningful if the 12-seed gap holds):
+Optional ladder arm (only meaningful if the 12-seed gap held — it did
+not, so this stayed unused):
   f32_outc   final 1x1 conv in f32, everything else bf16
-  f32_up4    last decoder stage (up4 + outc) in f32
 
 Writes benchmarks/R10_BF16_DIAG.json and refreshes the `bf16_vs_f32`
 entry of benchmarks/PARITY_SUITE.json (per-seed lists + protocol).
 
-Run (CPU): python benchmarks/r10_bf16_diag.py [--seeds 12] [--ladder]
+Run (CPU): python benchmarks/r10_bf16_diag.py [--seeds 12] [--arms float32,bfloat16,f32_outc]
 """
 
 from __future__ import annotations
@@ -99,7 +99,7 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--arms", default="float32,bfloat16",
-                    help="comma list: float32, bfloat16, f32_outc, f32_up4")
+                    help="comma list: float32, bfloat16, f32_outc")
     args = ap.parse_args()
 
     import jax

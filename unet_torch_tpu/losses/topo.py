@@ -286,10 +286,21 @@ def topocount_loss_from_pairing(logits, births, deaths, nbars, kgt,
 def effective_window(h: int, w: int, window: int) -> int:
     """Largest window ≤ ``window`` that tiles (h, w) exactly — clamps the
     512²-tuned default (64) to small inputs (a 64² crop gets one window) and
-    walks down to a divisor for odd sizes (terminates at 1)."""
+    walks down to a common divisor for odd sizes.
+
+    Refuses to degenerate: an awkward size (e.g. a prime 509) would walk to
+    eff=1, making the host pairing loop O(H·W) windows per image — a silent
+    multi-minute hang on the 1-vCPU host.  Below a floor of 8 (when the
+    input is at least that big) this raises instead; pad/crop to a multiple
+    of 8 or use the global ``TopoLoss``."""
     eff = max(1, min(window, h, w))
     while h % eff or w % eff:
         eff -= 1
+    if eff < min(8, h, w):
+        raise ValueError(
+            f"TopoCount window degenerated to {eff} for a {h}x{w} input "
+            f"(no common divisor >= 8 under window={window}); pad/crop the "
+            f"input to a multiple of 8 or use the global TopoLoss")
     return eff
 
 

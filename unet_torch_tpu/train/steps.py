@@ -424,6 +424,9 @@ def make_topo_steps(model, tx, loss_type: str, num_classes: int,
         return compute_pairing(lik, None, max_bars, kgt_override=kgt)
 
     def _pairing(out, y, gt_dot):
+        # NB `y` is unused: every path supplies kgt_override (the dot-map
+        # count), so compute_pairing's mask-derived-kgt fallback never runs;
+        # the parameter stays for the (state, x, y, gt_dot) step signature.
         logits = np.asarray(out)
         logits = logits[..., 0] if logits.ndim == 4 else logits
         plog = downsample_max(logits, ds)
